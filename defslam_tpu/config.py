@@ -1,0 +1,276 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's two-tier config (runtime YAML via cv::FileStorage +
+compile-time macros in ``Modules/Settings/set_MAC.h`` / ``CC_MAC.h`` /
+``Thirdparty/BBS/bbs_MAC.h``) with one frozen dataclass tree.  Defaults are the
+reference's shipped operating point (``scripts/stereo0_template.yaml``).
+
+Because everything downstream is jit-compiled with static shapes, all capacity
+knobs (max keypoints / points / keyframes, mesh size, spline grid) live here and
+are Python ints, never traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics.  Reference: Tracking.cc:49-100 (YAML Camera.*)."""
+
+    fx: float = 541.107
+    fy: float = 541.107
+    cx: float = 318.308
+    cy: float = 235.285
+    # OpenCV radial/tangential distortion (applied host-side at ingest).
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 7.0
+
+    @property
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """Feature frontend budget.  Reference: YAML ORBextractor.* (1200 feats,
+    scale 1.2, 8 pyramid levels, FAST thresholds 20/7)."""
+
+    n_features: int = 1200
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # Static per-frame keypoint capacity (padded + masked).
+    max_keypoints: int = 1536
+    # Frame grid used for windowed spatial queries
+    # (reference Frame.h FRAME_GRID_COLS=64, ROWS=48).
+    grid_cols: int = 64
+    grid_rows: int = 48
+
+
+@dataclasses.dataclass(frozen=True)
+class RegularizerConfig:
+    """SfT regularizer weights.  Reference: DefTracking.cc:55-74
+    (YAML Regularizer.*) and scripts/stereo0_template.yaml defaults."""
+
+    laplacian: float = 700.0
+    inextensibility: float = 12000.0
+    temporal: float = 0.05
+    local_zone: int = 2
+    reliability: float = 0.7
+
+
+@dataclasses.dataclass(frozen=True)
+class SfTConfig:
+    """Shape-from-Template solver budget.  Reference: DefOptimizer.cc:509-513
+    (50 LM iterations), chi2 outlier threshold 5.991 (2-dof 95%)."""
+
+    lm_iterations: int = 50
+    chi2_threshold: float = 5.991
+    huber_delta: float = 2.4477  # sqrt(5.991), matches g2o's robust kernel
+    lm_lambda_init: float = 1e-4
+    lm_lambda_max: float = 1e8
+    lm_lambda_min: float = 1e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """NRSfM / local-mapping parameters.  Reference: DefLocalMapping.cc:58-64
+    (YAML LocalMapping.*), SchwarpDatabase.cc:213-222 (3 LM iters),
+    bbs_MAC.h (13x15 control grid), NormalEstimator.cc:139 (<=200 iters)."""
+
+    points_to_template: int = 70
+    chi_limit: float = 0.07
+    bending: float = 0.10
+    schwarp_regularizer: float = 0.05
+    # B-spline warp control grid (reference bbs_MAC.h: 13 x 15).
+    warp_ctrl_u: int = 13
+    warp_ctrl_v: int = 15
+    schwarp_lm_iterations: int = 3
+    normal_lm_iterations: int = 30
+    # minimum covisible shared points for a warp pair (SchwarpDatabase.cc:83)
+    min_shared_points: int = 20
+    # warp reprojection error gate in px (SchwarpDatabase.cc:288-292)
+    warp_error_px: float = 10.0
+    # minimum normals before shape-from-normals runs (Surface.cc:62-67)
+    min_normals: int = 10
+    # minimum registered point pairs for Sim3 alignment
+    # (SurfaceRegistration.cc:106)
+    min_registration_points: int = 15
+    # shape-from-normals depth-surface control grid (1-valued spline)
+    sfn_ctrl_u: int = 13
+    sfn_ctrl_v: int = 15
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Template mesh.  Reference hard-codes a 10x10 node grid
+    (TriangularMesh.cc:63-65) -> 100 nodes, 162 facets."""
+
+    nodes_u: int = 10
+    nodes_v: int = 10
+
+    @property
+    def n_nodes(self) -> int:
+        return self.nodes_u * self.nodes_v
+
+    @property
+    def n_faces(self) -> int:
+        return 2 * (self.nodes_u - 1) * (self.nodes_v - 1)
+
+    @property
+    def n_edges(self) -> int:
+        nu, nv = self.nodes_u, self.nodes_v
+        # horizontal + vertical + one diagonal per quad
+        return nu * (nv - 1) + nv * (nu - 1) + (nu - 1) * (nv - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static SoA capacities (pad + mask everywhere)."""
+
+    max_map_points: int = 4096
+    max_keyframes: int = 24
+    # per-keyframe observation table capacity = OrbConfig.max_keypoints
+    # covisible warp pairs tracked at once
+    max_warp_pairs: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """Tracker cadence.  Reference: keyframe every 10 frames
+    (DefTracking.cc:175-178); projection search window 20 px
+    (DefTracking.cc TrackWithMotionModel)."""
+
+    keyframe_period: int = 10
+    projection_window: float = 20.0
+    match_th_high: int = 75  # ORBmatcher.h TH_HIGH
+    match_th_low: int = 50  # ORBmatcher.h TH_LOW
+    nn_ratio: float = 0.9
+    min_inliers_ok: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class GtConfig:
+    """Ground-truth evaluation harness.  Reference: CC_MAC.h:24-30
+    (NCC window sizes and acceptance threshold)."""
+
+    ncc_template: int = 11  # template half-extent in px (odd window)
+    ncc_search: int = 31  # search band half-extent along epipolar line
+    ncc_threshold: float = 0.85
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    regularizer: RegularizerConfig = dataclasses.field(
+        default_factory=RegularizerConfig
+    )
+    sft: SfTConfig = dataclasses.field(default_factory=SfTConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+    tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
+    gt: GtConfig = dataclasses.field(default_factory=GtConfig)
+    output_dir: str = "./out"
+    save_results: bool = False
+    seed: int = 0
+
+    @staticmethod
+    def from_yaml(path: str) -> "Config":
+        """Load a config from a YAML file.
+
+        Accepts both our nested schema and the reference's flat
+        ``Camera.fx``-style keys (scripts/stereo0_template.yaml) so existing
+        DefSLAM setting files keep working.
+        """
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        if any("." in k for k in raw):
+            raw = _from_reference_yaml(raw)
+        return _build(Config, raw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _build(cls, raw: dict):
+    kwargs: dict[str, Any] = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for name, field in fields.items():
+        if name not in raw:
+            continue
+        sub = field.type if isinstance(field.type, type) else None
+        ftype = field.default_factory if field.default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        if ftype is not None and dataclasses.is_dataclass(ftype):
+            kwargs[name] = _build(ftype, raw[name])
+        elif sub is not None and dataclasses.is_dataclass(sub):
+            kwargs[name] = _build(sub, raw[name])
+        else:
+            kwargs[name] = raw[name]
+    return cls(**kwargs)
+
+
+# Mapping from the reference's flat YAML keys to our nested schema.
+_REF_KEYMAP = {
+    "Camera.fx": ("camera", "fx"),
+    "Camera.fy": ("camera", "fy"),
+    "Camera.cx": ("camera", "cx"),
+    "Camera.cy": ("camera", "cy"),
+    "Camera.k1": ("camera", "k1"),
+    "Camera.k2": ("camera", "k2"),
+    "Camera.p1": ("camera", "p1"),
+    "Camera.p2": ("camera", "p2"),
+    "Camera.k3": ("camera", "k3"),
+    "Camera.width": ("camera", "width"),
+    "Camera.height": ("camera", "height"),
+    "Camera.fps": ("camera", "fps"),
+    "ORBextractor.nFeatures": ("orb", "n_features"),
+    "ORBextractor.scaleFactor": ("orb", "scale_factor"),
+    "ORBextractor.nLevels": ("orb", "n_levels"),
+    "ORBextractor.iniThFAST": ("orb", "ini_th_fast"),
+    "ORBextractor.minThFAST": ("orb", "min_th_fast"),
+    "Regularizer.laplacian": ("regularizer", "laplacian"),
+    "Regularizer.Inextensibility": ("regularizer", "inextensibility"),
+    "Regularizer.temporal": ("regularizer", "temporal"),
+    "Regularizer.LocalZone": ("regularizer", "local_zone"),
+    "Regularizer.Reliability": ("regularizer", "reliability"),
+    "LocalMapping.pointsToTemplate": ("mapping", "points_to_template"),
+    "LocalMapping.chiLimit": ("mapping", "chi_limit"),
+    "LocalMapping.Bending": ("mapping", "bending"),
+    "LocalMapping.Schwarp.Regularizer": ("mapping", "schwarp_regularizer"),
+    "File.outputdir": ("output_dir",),
+    "Viewer.SaveResults": ("save_results",),
+}
+
+
+def _from_reference_yaml(raw: dict) -> dict:
+    nested: dict[str, Any] = {}
+    for key, value in raw.items():
+        path = _REF_KEYMAP.get(key)
+        if path is None:
+            continue
+        if key == "Viewer.SaveResults":
+            value = bool(value)
+        node = nested
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+    return nested

@@ -1,0 +1,1 @@
+from defslam_tpu.geometry import se3, camera  # noqa: F401

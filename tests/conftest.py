@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding (shard_map/pjit over jax.sharding.Mesh) is validated on
+host CPU with XLA's virtual-device flag — the standard JAX way to test pod
+topologies without hardware.
+
+Note: the machine's sitecustomize forces the experimental 'axon' TPU-tunnel
+platform via JAX_PLATFORMS; per-op dispatch over that tunnel is far too slow
+for a test suite, so we override it through jax.config (env vars alone are
+not enough).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
