@@ -1,0 +1,192 @@
+"""Template mesh: regular triangular grid + Laplacian structure + barycentric
+point embedding.  Static topology, SoA arrays.
+
+Replaces the reference's Template/TriangularMesh/LaplacianMesh/Node/Edge/Facet
+pointer web (``Modules/Template/``): a 10x10 node grid triangulated over the
+keyframe surface (``TriangularMesh.cc:63-107``), per-node Laplacian weights and
+rest mean curvature (``LaplacianMesh.cc:53-148``), and map points embedded in
+facets by barycentric coordinates
+(``TriangularMesh.cc:133-236``, ``DefMapPoint.cc:97-147``).
+
+TPU re-design decisions:
+
+- Topology (faces, edges, neighbor rings) depends only on the grid dimensions
+  -> computed once on host as numpy constants; only node *positions* are
+  device state.
+- The reference embeds points by closest-node search + point-in-triangle
+  tests in 3D.  Here both the mesh nodes and the map points come from the
+  same spline surface over the keyframe's retina domain, so embedding is
+  done in the 2D retina parameterization: facet lookup is closed-form
+  (which grid cell, which diagonal side) — O(1) per point, branchless,
+  exact for on-surface points.
+- The Laplacian (mean-curvature) term uses uniform ring weights and a
+  rotation-invariant magnitude target |L x| - |L x_rest| (the reference
+  stores per-ring weights and rest curvatures, LaplacianMesh.cc:151-213;
+  the invariant scalar form preserves curvature without penalizing rigid
+  motion, which is the role the term plays in the SfT energy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+MAX_RING = 8  # max neighbors of a grid-with-diagonal node (interior: 6)
+
+
+class MeshTopology(NamedTuple):
+    """Static (host/numpy) topology of a nodes_u x nodes_v grid mesh."""
+
+    faces: np.ndarray  # (F, 3) int32 node ids, CCW in (u, v) param space
+    edges: np.ndarray  # (E, 2) int32 unique undirected edges
+    ring: np.ndarray  # (M, MAX_RING) int32 neighbor ids (padded with 0)
+    ring_mask: np.ndarray  # (M, MAX_RING) bool
+    nodes_u: int
+    nodes_v: int
+
+
+class Template(NamedTuple):
+    """Device state of the active template."""
+
+    nodes: jnp.ndarray  # (M, 3) current node positions (world)
+    nodes_rest: jnp.ndarray  # (M, 3) rest shape (at template creation)
+    rest_len: jnp.ndarray  # (E,) rest edge lengths
+    lap_rest: jnp.ndarray  # (M,) rest |mean curvature| magnitudes
+    valid: jnp.ndarray  # () bool — is there an active template?
+
+
+@functools.lru_cache(maxsize=8)
+def grid_topology(nodes_u: int, nodes_v: int) -> MeshTopology:
+    """Triangulated regular grid; node id = iu * nodes_v + iv."""
+    nid = lambda iu, iv: iu * nodes_v + iv  # noqa: E731
+    faces = []
+    edges = set()
+    for iu in range(nodes_u - 1):
+        for iv in range(nodes_v - 1):
+            a = nid(iu, iv)
+            b = nid(iu + 1, iv)
+            c = nid(iu + 1, iv + 1)
+            d = nid(iu, iv + 1)
+            # split quad along the (a, c) diagonal
+            faces.append((a, b, c))
+            faces.append((a, c, d))
+            for e in ((a, b), (b, c), (a, c), (c, d), (a, d)):
+                edges.add(tuple(sorted(e)))
+    faces = np.asarray(faces, np.int32)
+    edges = np.asarray(sorted(edges), np.int32)
+    m = nodes_u * nodes_v
+    ring_lists: list[list[int]] = [[] for _ in range(m)]
+    for a, b in edges:
+        ring_lists[a].append(b)
+        ring_lists[b].append(a)
+    ring = np.zeros((m, MAX_RING), np.int32)
+    mask = np.zeros((m, MAX_RING), bool)
+    for i, nbrs in enumerate(ring_lists):
+        assert len(nbrs) <= MAX_RING
+        ring[i, : len(nbrs)] = nbrs
+        mask[i, : len(nbrs)] = True
+    return MeshTopology(
+        faces=faces,
+        edges=edges,
+        ring=ring,
+        ring_mask=mask,
+        nodes_u=nodes_u,
+        nodes_v=nodes_v,
+    )
+
+
+def laplacian(nodes: jnp.ndarray, topo: MeshTopology) -> jnp.ndarray:
+    """Uniform-weight umbrella operator: delta_i = x_i - mean_j x_j, (M, 3)."""
+    ring = jnp.asarray(topo.ring)
+    mask = jnp.asarray(topo.ring_mask, nodes.dtype)
+    nbr = nodes[ring]  # (M, R, 3)
+    mean = jnp.sum(nbr * mask[..., None], axis=1) / jnp.sum(mask, axis=1)[:, None]
+    return nodes - mean
+
+
+def edge_lengths(nodes: jnp.ndarray, topo: MeshTopology) -> jnp.ndarray:
+    e = jnp.asarray(topo.edges)
+    d = nodes[e[:, 0]] - nodes[e[:, 1]]
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+
+def make_template(nodes: jnp.ndarray, topo: MeshTopology) -> Template:
+    """Freeze the current node positions as the rest shape."""
+    lap = laplacian(nodes, topo)
+    return Template(
+        nodes=nodes,
+        nodes_rest=nodes,
+        rest_len=edge_lengths(nodes, topo),
+        lap_rest=jnp.linalg.norm(lap, axis=-1),
+        valid=jnp.asarray(True),
+    )
+
+
+# ------------------------------------------------------------ embedding ----
+
+
+def embed_uv(
+    uv: jnp.ndarray, dom: jnp.ndarray, topo: MeshTopology
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Embed parameter-space points into mesh facets, closed form.
+
+    uv: (P, 2) retina coordinates; dom = [umin, umax, vmin, vmax] — the same
+    domain the mesh nodes were laid out on (uniform grid over dom).
+    Returns (facet_id (P,) i32, bary (P, 3) f32, inside (P,) bool).
+
+    Replaces the reference's per-point closest-node + point-in-triangle
+    search (TriangularMesh.cc:133-236) with direct cell arithmetic: the grid
+    cell containing (u, v) and the side of its diagonal determine the facet;
+    barycentric coordinates follow analytically.
+    """
+    nu, nv = topo.nodes_u, topo.nodes_v
+    su = (uv[:, 0] - dom[0]) / (dom[1] - dom[0]) * (nu - 1)
+    sv = (uv[:, 1] - dom[2]) / (dom[3] - dom[2]) * (nv - 1)
+    inside = (su >= 0) & (su <= nu - 1) & (sv >= 0) & (sv <= nv - 1)
+    su = jnp.clip(su, 0.0, nu - 1 - 1e-6)
+    sv = jnp.clip(sv, 0.0, nv - 1 - 1e-6)
+    iu = jnp.floor(su).astype(jnp.int32)
+    iv = jnp.floor(sv).astype(jnp.int32)
+    fu = su - iu
+    fv = sv - iv
+    # quad (iu, iv) has faces 2*q (a,b,c) and 2*q+1 (a,c,d) with
+    # a=(iu,iv) b=(iu+1,iv) c=(iu+1,iv+1) d=(iu,iv+1); diagonal a-c is the
+    # line fu == fv; the (a,b,c) triangle is fu >= fv.
+    q = iu * (nv - 1) + iv
+    lower = fu >= fv
+    facet = jnp.where(lower, 2 * q, 2 * q + 1)
+    # barycentric in each triangle (affine coords in the unit cell):
+    # (a,b,c): p = a + fu*(b-a) + fv*(c-b) -> w_b = fu - fv, w_c = fv
+    # (a,c,d): p = a + fv*(d-a) + fu*(c-d) -> w_c = fu, w_d = fv - fu
+    w1 = jnp.where(lower, fu - fv, fu)  # weight of 2nd vertex
+    w2 = jnp.where(lower, fv, fv - fu)  # weight of 3rd vertex
+    w0 = 1.0 - w1 - w2
+    bary = jnp.stack([w0, w1, w2], axis=-1)
+    return facet, bary, inside
+
+
+def facet_positions(
+    nodes: jnp.ndarray, topo: MeshTopology, facet: jnp.ndarray, bary: jnp.ndarray
+) -> jnp.ndarray:
+    """Barycentric reconstruction: (P,) facet ids + (P, 3) weights -> (P, 3)
+    world positions.  The ``DefMapPoint::RecalculatePosition`` equivalent
+    (DefMapPoint.cc:129-147), batched."""
+    f = jnp.asarray(topo.faces)[jnp.clip(facet, 0, len(topo.faces) - 1)]  # (P, 3)
+    tri = nodes[f]  # (P, 3, 3)
+    return jnp.einsum("pk,pkd->pd", bary, tri)
+
+
+def grid_nodes_from_surface(
+    surf_xyz_fn, dom: jnp.ndarray, topo: MeshTopology
+) -> jnp.ndarray:
+    """Sample the (nu x nv) node grid over the retina domain through a
+    surface function (u, v) -> xyz.  Reference: Surface::getVertex BBS eval
+    (Surface.cc:125-161) feeding TriangularMesh's node grid."""
+    nu, nv = topo.nodes_u, topo.nodes_v
+    gu = jnp.linspace(dom[0], dom[1], nu)
+    gv = jnp.linspace(dom[2], dom[3], nv)
+    U, V = jnp.meshgrid(gu, gv, indexing="ij")
+    return surf_xyz_fn(U.reshape(-1), V.reshape(-1))  # (M, 3)

@@ -1,0 +1,146 @@
+"""SfT solver tests on synthetic deformations — the reference's own notion of
+a testable seam: inject known correspondences, check the recovered mesh+pose
+(DefOptimizer.h:55-61 'for testing shape-from-template ... by giving it the
+matches')."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from defslam_tpu.config import Config, SfTConfig
+from defslam_tpu.geometry import camera as cam
+from defslam_tpu.geometry import se3
+from defslam_tpu.template import mesh as meshmod
+from defslam_tpu.tracking import sft
+
+K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+DOM = jnp.asarray([-0.4, 0.4, -0.3, 0.3])
+
+
+def _setup(n_pts=200, deform=0.08, seed=0, noise=0.3):
+    topo = meshmod.grid_topology(10, 10)
+    nodes_rest = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, jnp.ones_like(u)], axis=-1), DOM, topo
+    )
+    tmpl = meshmod.make_template(nodes_rest, topo)
+
+    rng = np.random.default_rng(seed)
+    uv_param = np.stack(
+        [rng.uniform(-0.38, 0.38, n_pts), rng.uniform(-0.28, 0.28, n_pts)], axis=1
+    ).astype(np.float32)
+    facet, bary, inside = meshmod.embed_uv(jnp.asarray(uv_param), DOM, topo)
+    assert bool(jnp.all(inside))
+
+    # smooth synthetic deformation of the node grid
+    gu = np.linspace(-0.4, 0.4, 10)
+    gv = np.linspace(-0.3, 0.3, 10)
+    U, V = np.meshgrid(gu, gv, indexing="ij")
+    dz = deform * np.sin(2 * np.pi * U / 0.8) * np.cos(np.pi * V / 0.6)
+    nodes_true = nodes_rest + jnp.asarray(
+        np.stack([np.zeros_like(dz), np.zeros_like(dz), dz], -1).reshape(-1, 3),
+        jnp.float32,
+    )
+    T_true = se3.se3_exp(
+        jnp.asarray([0.02, -0.01, 0.03, 0.01, -0.02, 0.005], jnp.float32)
+    )
+    pts_true = meshmod.facet_positions(nodes_true, topo, facet, bary)
+    obs = cam.project(K, se3.transform(T_true, pts_true))
+    obs = obs + jnp.asarray(rng.normal(0, noise, obs.shape), jnp.float32)
+
+    data = sft.SfTData(
+        K=K,
+        T0=jnp.eye(4),
+        nodes0=tmpl.nodes_rest,
+        nodes_anchor=tmpl.nodes_rest,
+        rest_len=tmpl.rest_len,
+        lap_rest=tmpl.lap_rest,
+        obs_uv=obs,
+        obs_face=facet,
+        obs_bary=bary,
+        obs_invsigma2=jnp.ones(n_pts),
+        obs_mask=jnp.ones(n_pts, bool),
+    )
+    return topo, data, T_true, nodes_true, pts_true, facet, bary
+
+
+def _cfg(iters=40):
+    return Config(sft=SfTConfig(lm_iterations=iters))
+
+
+def test_sft_recovers_deformation():
+    topo, data, T_true, nodes_true, pts_true, facet, bary = _setup()
+    res = sft.solve(data, topo, _cfg())
+    # reprojection residual at the solution
+    assert float(jnp.sqrt(jnp.mean(res.chi2))) < 1.5
+    assert int(res.inlier.sum()) > 180
+    # 3D accuracy in the *camera* frame (the SE3 gauge lives between camera
+    # and mesh; camera-frame structure is what is observable)
+    pts_est = meshmod.facet_positions(res.nodes, topo, facet, bary)
+    pc_est = se3.transform(res.T, pts_est)
+    pc_true = se3.transform(T_true, pts_true)
+    err = np.linalg.norm(np.asarray(pc_est - pc_true), axis=1)
+    assert np.median(err) < 0.03, f"median 3D error {np.median(err):.4f}"
+
+
+def test_sft_flags_outliers():
+    topo, data, T_true, nodes_true, pts_true, facet, bary = _setup(seed=1)
+    rng = np.random.default_rng(9)
+    obs = np.array(data.obs_uv)
+    bad = rng.choice(len(obs), 15, replace=False)
+    obs[bad] += rng.uniform(25, 60, (15, 2)) * rng.choice([-1, 1], (15, 2))
+    data = data._replace(obs_uv=jnp.asarray(obs))
+    res = sft.solve(data, topo, _cfg())
+    inl = np.asarray(res.inlier)
+    assert inl[bad].sum() <= 2, "gross outliers not gated"
+    good = np.setdiff1d(np.arange(len(obs)), bad)
+    assert inl[good].mean() > 0.85
+    # solution still accurate despite outliers
+    pts_est = meshmod.facet_positions(res.nodes, topo, facet, bary)
+    pc_est = se3.transform(res.T, pts_est)
+    pc_true = se3.transform(T_true, pts_true)
+    err = np.linalg.norm(np.asarray(pc_est - pc_true), axis=1)[good]
+    assert np.median(err) < 0.03
+
+
+def test_sft_respects_mask():
+    topo, data, *_ = _setup(seed=2)
+    # masking out half the observations must not use them
+    mask = np.ones(200, bool)
+    mask[100:] = False
+    obs = np.array(data.obs_uv)
+    obs[100:] = 1e5  # poison masked-out entries
+    data = data._replace(obs_uv=jnp.asarray(obs), obs_mask=jnp.asarray(mask))
+    res = sft.solve(data, topo, _cfg(iters=20))
+    assert np.isfinite(float(res.cost))
+    assert int(res.inlier[:100].sum()) > 80
+    assert int(res.inlier[100:].sum()) == 0
+
+
+def test_embed_uv_roundtrip():
+    topo = meshmod.grid_topology(10, 10)
+    nodes = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, 1.0 + 0.1 * u * v], axis=-1), DOM, topo
+    )
+    rng = np.random.default_rng(3)
+    uv = jnp.asarray(
+        np.stack([rng.uniform(-0.4, 0.4, 100), rng.uniform(-0.3, 0.3, 100)], 1),
+        jnp.float32,
+    )
+    facet, bary, inside = meshmod.embed_uv(uv, DOM, topo)
+    assert bool(jnp.all(inside))
+    assert np.allclose(np.asarray(bary).sum(1), 1.0, atol=1e-5)
+    assert (np.asarray(bary) >= -1e-5).all()
+    # barycentric reconstruction of the (u, v) coordinates themselves
+    uv_nodes = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, jnp.zeros_like(u)], axis=-1), DOM, topo
+    )
+    rec = meshmod.facet_positions(uv_nodes, topo, facet, bary)
+    np.testing.assert_allclose(rec[:, :2], uv, atol=1e-5)
+
+
+def test_embed_uv_outside_flag():
+    topo = meshmod.grid_topology(10, 10)
+    uv = jnp.asarray([[0.0, 0.0], [0.6, 0.0], [0.0, -0.5]], jnp.float32)
+    _, _, inside = meshmod.embed_uv(uv, DOM, topo)
+    assert bool(inside[0]) and not bool(inside[1]) and not bool(inside[2])
