@@ -1,0 +1,78 @@
+"""Shape-from-Normals: integrate per-keypoint normals into a depth surface.
+
+Equivalent of ``Modules/Mapping/ShapeFromNormals.{h,cc}``: the surface is a
+1-valued bicubic B-spline gamma(u, v) (depth) over the keyframe's retina
+domain; each keypoint normal contributes two linear rows
+
+    n . ( eta(u,v) * dC_u[i] + e_u * C[i] ) = 0
+    n . ( eta(u,v) * dC_v[i] + e_v * C[i] ) = 0      (obtainM, 178-260)
+
+with eta = [u, v, 1], plus a bending penalty and one gauge row fixing the
+mean control depth (estimate, 81-98).  The solution is normalized so the
+median control depth is 1 (128-135), and per-keypoint 3D is
+gamma * [u, v, 1] (144-165).
+
+Here the stacked QR of the reference becomes masked normal equations +
+Cholesky (one ~195x195 SPD solve), fully jittable and batched over keyframes
+when needed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from defslam_tpu.ops import bspline
+from defslam_tpu.utils import HIGHEST, masked_median, psd_solve
+
+
+class SfNResult(NamedTuple):
+    ctrl: jnp.ndarray  # (nu, nv) control depths, median-normalized
+    depth: jnp.ndarray  # (N,) depth at the keypoints
+    xyz: jnp.ndarray  # (N, 3) camera-frame surface points gamma*[u,v,1]
+    ok: jnp.ndarray  # () bool — solve finite & positive-definite-ish
+
+
+def solve(
+    uv: jnp.ndarray,  # (N, 2) retina keypoints
+    normals: jnp.ndarray,  # (N, 3) surface normals at those keypoints
+    mask: jnp.ndarray,  # (N,) bool — keypoints with a valid normal
+    dom: jnp.ndarray,
+    nu: int,
+    nv: int,
+    bending: jnp.ndarray,  # (K, K) precomputed bending matrix for dom
+    bending_weight: float,
+    mean_depth: float | jnp.ndarray = 1.0,
+) -> SfNResult:
+    k = nu * nv
+    n = normals / jnp.maximum(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9
+    )
+    C = bspline.coloc_2d(uv[:, 0], uv[:, 1], dom, nu, nv)  # (N, K)
+    Cu = bspline.coloc_2d(uv[:, 0], uv[:, 1], dom, nu, nv, 1, 0)
+    Cv = bspline.coloc_2d(uv[:, 0], uv[:, 1], dom, nu, nv, 0, 1)
+    eta_n = (
+        n[:, 0] * uv[:, 0] + n[:, 1] * uv[:, 1] + n[:, 2]
+    )  # n . [u, v, 1]
+    row_u = eta_n[:, None] * Cu + n[:, 0:1] * C  # (N, K)
+    row_v = eta_n[:, None] * Cv + n[:, 1:2] * C
+    w = mask.astype(C.dtype)
+
+    # normal equations of [rows_u; rows_v; lambda*B; gauge]
+    AtA = (
+        jnp.einsum("ni,n,nj->ij", row_u, w, row_u, precision=HIGHEST)
+        + jnp.einsum("ni,n,nj->ij", row_v, w, row_v, precision=HIGHEST)
+        + (bending_weight**2) * (bending @ bending)
+    )
+    ones = jnp.ones((k,), C.dtype)
+    AtA = AtA + jnp.outer(ones, ones)
+    rhs = ones * (k * mean_depth)
+    ctrl = psd_solve(AtA, rhs, jitter=1e-7 * k)
+    med = masked_median(ctrl, jnp.ones_like(ctrl, dtype=bool))
+    corr = jnp.where(jnp.abs(med) > 1e-9, 1.0 / med, 1.0)
+    ctrl = ctrl * corr
+    depth = (C @ ctrl[:, None])[:, 0]
+    xyz = jnp.stack([uv[:, 0] * depth, uv[:, 1] * depth, depth], axis=-1)
+    ok = jnp.all(jnp.isfinite(ctrl)) & (jnp.sum(mask) >= 3)
+    return SfNResult(ctrl=ctrl.reshape(nu, nv), depth=depth, xyz=xyz, ok=ok)

@@ -1,0 +1,228 @@
+"""Synthetic isometric-NRSfM pipeline tests.
+
+A rigid motion is an isometry, so viewing the *same* curved surface from two
+cameras gives an exactly isometric image pair: the warp-differential normal
+constraints (eqs 13/14) must recover the analytic surface normals, and
+shape-from-normals must re-integrate them to the true depth (up to scale).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from defslam_tpu.geometry import se3
+from defslam_tpu.mapping import normals as nrm
+from defslam_tpu.mapping import registration, sfn, warp
+from defslam_tpu.ops import bspline
+
+NU, NV = 13, 15
+
+
+def _surface_pair(motion, n_pts=500, amp=0.15, seed=0):
+    """Curved surface z = 1 + amp*sin(2x)*cos(y) seen from I and from
+    `motion` (4x4).  Returns retina matches + analytic (k1,k2) in view 1."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.35, 0.35, n_pts)
+    y = rng.uniform(-0.25, 0.25, n_pts)
+    z = 1.0 + amp * np.sin(2 * x) * np.cos(y)
+    P1 = jnp.asarray(np.stack([x, y, z], 1), jnp.float32)
+    P2 = se3.transform(motion, P1)
+    uv1 = P1[:, :2] / P1[:, 2:3]
+    uv2 = P2[:, :2] / P2[:, 2:3]
+    # analytic normal of z - 1 - amp sin(2x)cos(y): (-h_x, -h_y, 1)
+    hx = 2 * amp * np.cos(2 * x) * np.cos(y)
+    hy = -amp * np.sin(2 * x) * np.sin(y)
+    N = np.stack([-hx, -hy, np.ones_like(hx)], 1)
+    eta = np.stack([np.asarray(uv1[:, 0]), np.asarray(uv1[:, 1]), np.ones(n_pts)], 1)
+    k_true = N[:, :2] / np.sum(N * eta, axis=1, keepdims=True)
+    return uv1, uv2, P1, jnp.asarray(k_true, jnp.float32)
+
+
+def _fit_warp(uv1, uv2, dom, refine=True):
+    B = bspline.bending_matrix(dom, NU, NV)
+    w = jnp.ones(uv1.shape[0])
+    ctrl = warp.fit_initial(uv1, uv2, w, dom, NU, NV, B, 1e-5)
+    if refine:
+        ctrl = warp.refine(ctrl, uv1, uv2, w, dom, 0.05, 500.0, 500.0, 3)
+    return ctrl
+
+
+def _dom(uv, margin=0.15):
+    lo = np.asarray(uv).min(0)
+    hi = np.asarray(uv).max(0)
+    d = hi - lo
+    return jnp.asarray(
+        [lo[0] - margin * d[0], hi[0] + margin * d[0],
+         lo[1] - margin * d[1], hi[1] + margin * d[1]],
+        jnp.float32,
+    )
+
+
+def test_warp_fit_accuracy():
+    motion = se3.se3_exp(jnp.asarray([0.05, -0.03, 0.08, 0.06, -0.04, 0.02]))
+    uv1, uv2, _, _ = _surface_pair(motion)
+    dom = _dom(uv1)
+    ctrl = _fit_warp(uv1, uv2, dom)
+    dp = warp.diff_props(
+        ctrl, uv1, uv2, jnp.ones(len(uv1), bool), dom, 500.0, 500.0, 10.0
+    )
+    err_px = np.linalg.norm(np.asarray(dp.warped - uv2), axis=1) * 500.0
+    assert np.median(err_px) < 0.5, f"median warp error {np.median(err_px):.3f}px"
+    assert float(dp.mask.mean()) > 0.95
+
+
+def test_homography_projectivity_residual_zero():
+    # the projectivity (Schwarzian-equivalent) residual must vanish for a
+    # homography warp and fire for a non-projective warp
+    dom = jnp.asarray([-0.5, 0.5, -0.4, 0.4], jnp.float32)
+    gu = np.linspace(-0.5, 0.5, 60)
+    gv = np.linspace(-0.4, 0.4, 50)
+    U, V = np.meshgrid(gu, gv, indexing="ij")
+    u, v = U.ravel(), V.ravel()
+    H = np.array([[1.02, 0.03, 0.01], [-0.02, 0.98, 0.02], [0.05, -0.04, 1.0]])
+    den = H[2, 0] * u + H[2, 1] * v + H[2, 2]
+    uv1 = jnp.asarray(np.stack([u, v], 1), jnp.float32)
+    uv2_h = jnp.asarray(
+        np.stack(
+            [(H[0, 0] * u + H[0, 1] * v + H[0, 2]) / den,
+             (H[1, 0] * u + H[1, 1] * v + H[1, 2]) / den], 1),
+        jnp.float32,
+    )
+    uv2_n = jnp.asarray(
+        np.stack([u + 0.15 * u * u + 0.1 * v * v, v + 0.12 * u * v], 1),
+        jnp.float32,
+    )
+    B = bspline.bending_matrix(dom, NU, NV)
+    ones = jnp.ones(len(u))
+    ctrl_h = warp.fit_initial(uv1, uv2_h, ones, dom, NU, NV, B, 1e-7)
+    ctrl_n = warp.fit_initial(uv1, uv2_n, ones, dom, NU, NV, B, 1e-7)
+    qu, qv = warp._coloc_grid(dom, NU, NV)
+    inner = (np.abs(np.asarray(qu)) < 0.35) & (np.abs(np.asarray(qv)) < 0.28)
+    r_h = np.asarray(warp.projectivity_residuals(ctrl_h, qu, qv, dom)).reshape(len(qu), -1)
+    r_n = np.asarray(warp.projectivity_residuals(ctrl_n, qu, qv, dom)).reshape(len(qu), -1)
+    assert np.abs(r_h[inner]).mean() < 0.01 * np.abs(r_n[inner]).mean()
+
+
+def _stack_pair_obs(dps):
+    obs = [nrm.pair_obs(dp) for dp in dps]
+    return nrm.PairObs(*[jnp.stack(x, axis=1) for x in zip(*obs)])
+
+
+def test_metric_residual_zero_at_truth():
+    # with *analytic* warp derivatives the pullback identity is exact for a
+    # plane (transfer is exact for planes): residual at k_true ~ 0
+    motion = se3.se3_exp(jnp.asarray([0.03, 0.01, -0.06, 0.04, 0.06, 0.01]))
+    uv1, uv2, _, k_true = _surface_pair(motion, amp=0.0, n_pts=50)
+    dom = _dom(uv1)
+    ctrl = _fit_warp(uv1, uv2, dom)
+    dp = warp.diff_props(
+        ctrl, uv1, uv2, jnp.ones(len(uv1), bool), dom, 500.0, 500.0, 10.0
+    )
+    r = nrm.metric_residuals(k_true, nrm.pair_obs(dp))
+    assert float(jnp.abs(r).mean()) < 5e-3
+
+
+def test_normals_plane():
+    motion = se3.se3_exp(jnp.asarray([0.03, 0.01, -0.06, 0.04, 0.06, 0.01]))
+    uv1, uv2, _, k_true = _surface_pair(motion, amp=0.0, n_pts=300)
+    dom = _dom(uv1)
+    ctrl = _fit_warp(uv1, uv2, dom)
+    dp = warp.diff_props(
+        ctrl, uv1, uv2, jnp.ones(len(uv1), bool), dom, 500.0, 500.0, 10.0
+    )
+    res = nrm.solve_k1k2(
+        _stack_pair_obs([dp]), jnp.zeros((len(uv1), 2))
+    )
+    # plane: k1 = k2 = 0
+    k = np.asarray(res.k)
+    assert np.median(np.abs(k)) < 0.05, f"plane k medians {np.median(np.abs(k), 0)}"
+
+
+def test_normals_curved_surface_two_views():
+    m1 = se3.se3_exp(jnp.asarray([0.06, -0.02, 0.05, 0.08, -0.05, 0.02]))
+    m2 = se3.se3_exp(jnp.asarray([-0.04, 0.05, 0.09, -0.06, 0.07, -0.04]))
+    uv1, uv2a, P1, k_true = _surface_pair(m1, n_pts=400)
+    _, uv2b, _, _ = _surface_pair(m2, n_pts=400)
+    dom = _dom(uv1)
+    dps = []
+    for uv2 in (uv2a, uv2b):
+        ctrl = _fit_warp(uv1, uv2, dom)
+        dps.append(
+            warp.diff_props(
+                ctrl, uv1, uv2, jnp.ones(len(uv1), bool), dom, 500.0, 500.0, 10.0
+            )
+        )
+    res = nrm.solve_k1k2(_stack_pair_obs(dps), jnp.zeros((len(uv1), 2)))
+
+    n_est = np.asarray(nrm.normal_from_k(res.k, uv1))
+    n_true = np.asarray(nrm.normal_from_k(k_true, uv1))
+    cos = np.abs(
+        np.sum(n_est * n_true, 1)
+        / (np.linalg.norm(n_est, axis=1) * np.linalg.norm(n_true, axis=1))
+    )
+    ang = np.degrees(np.arccos(np.clip(cos, 0, 1)))
+    # interior points (spline derivatives are accurate away from the rim)
+    inner = (
+        (np.abs(np.asarray(uv1[:, 0])) < 0.25) & (np.abs(np.asarray(uv1[:, 1])) < 0.18)
+    )
+    assert np.median(ang[inner]) < 6.0, f"median normal error {np.median(ang[inner]):.2f} deg"
+
+
+def test_sfn_recovers_depth():
+    # exact normals of the analytic surface -> depth up to scale
+    rng = np.random.default_rng(2)
+    n_pts = 400
+    x = rng.uniform(-0.35, 0.35, n_pts)
+    y = rng.uniform(-0.25, 0.25, n_pts)
+    amp = 0.15
+    z = 1.0 + amp * np.sin(2 * x) * np.cos(y)
+    uv = jnp.asarray(np.stack([x / z, y / z], 1), jnp.float32)
+    hx = 2 * amp * np.cos(2 * x) * np.cos(y)
+    hy = -amp * np.sin(2 * x) * np.sin(y)
+    N = jnp.asarray(np.stack([-hx, -hy, np.ones_like(hx)], 1), jnp.float32)
+    dom = _dom(uv)
+    B = bspline.bending_matrix(dom, NU, NV)
+    res = sfn.solve(
+        uv, N, jnp.ones(n_pts, bool), dom, NU, NV, B, bending_weight=0.1,
+        mean_depth=1.0,
+    )
+    assert bool(res.ok)
+    depth_true = z  # gamma = z since point = gamma*[u,v,1], z-comp = gamma
+    ratio = np.asarray(res.depth) / depth_true
+    # up-to-scale: relative spread of the ratio is the real error measure
+    rel = np.std(ratio) / np.mean(ratio)
+    assert rel < 0.03, f"depth shape error {rel:.4f}"
+
+
+def test_registration_recovers_sim3():
+    rng = np.random.default_rng(3)
+    surf = jnp.asarray(rng.normal(0, 0.3, (200, 3)) + [0, 0, 1.0], jnp.float32)
+    from scipy.spatial.transform import Rotation
+
+    R_true = Rotation.from_rotvec([0.1, -0.05, 0.08]).as_matrix().astype(np.float32)
+    s_true = 2.2
+    t_true = np.array([0.1, -0.2, 0.35], np.float32)
+    mapped = s_true * np.asarray(surf) @ R_true.T + t_true
+    mask = np.ones(200, bool)
+    mapped[180:] += rng.normal(0, 1.0, (20, 3))  # 10% outliers
+    res = registration.register(
+        surf, jnp.asarray(mapped), jnp.asarray(mask), chi_limit=0.07
+    )
+    assert bool(res.accepted)
+    np.testing.assert_allclose(float(res.s), s_true, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(res.R), R_true, atol=0.03)
+
+
+def test_registration_rejects_garbage():
+    rng = np.random.default_rng(4)
+    surf = jnp.asarray(rng.normal(0, 0.3, (100, 3)) + [0, 0, 1.0], jnp.float32)
+    garbage = jnp.asarray(rng.normal(0, 1.0, (100, 3)) + [0, 0, 2.0], jnp.float32)
+    res = registration.register(
+        surf, garbage, jnp.ones(100, bool), chi_limit=0.07
+    )
+    assert not bool(res.accepted)
+    # and with too few pairs
+    res2 = registration.register(
+        surf, surf, jnp.asarray(np.arange(100) < 5), chi_limit=0.07
+    )
+    assert not bool(res2.accepted)
