@@ -1,0 +1,141 @@
+"""Fixed-capacity structure-of-arrays map state.
+
+Replaces the reference's pointer-graph data model — ``Map``/``KeyFrame``/
+``MapPoint`` with per-object mutexes (``Thirdparty/ORBSLAM_2``), plus the
+``Def*`` subclasses (``Modules/Common/Def{Map,KeyFrame,MapPoint}.{h,cc}``) —
+with padded, mask-validated arrays so every pipeline stage is a static-shape
+batched device op.  Host code treats these as immutable values and swaps
+whole stores (functional updates); there is no locking anywhere.
+
+Capacities come from ``CapacityConfig``; K = keypoints/frame, P = map
+points, F = keyframes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from defslam_tpu.config import Config
+from defslam_tpu.frontend import Features
+
+
+class KeyframeStore(NamedTuple):
+    """All keyframes, SoA.  Equivalent of KeyFrame + DefKeyFrame state:
+    pose, keypoints (pixel + normalized retina, DefKeyFrame.cc:94-133),
+    descriptors, per-keypoint map-point association (mvpMapPoints), and the
+    per-KF NRSfM surface (Surface.{h,cc})."""
+
+    pose: jnp.ndarray  # (F, 4, 4) world->camera
+    xy: jnp.ndarray  # (F, K, 2) pixel coords
+    retina: jnp.ndarray  # (F, K, 2) normalized coords
+    desc: jnp.ndarray  # (F, K, 8) uint32
+    level: jnp.ndarray  # (F, K) int32
+    angle: jnp.ndarray  # (F, K)
+    kp_valid: jnp.ndarray  # (F, K) bool
+    point_id: jnp.ndarray  # (F, K) int32 — map point seen at this kp, -1
+    frame_id: jnp.ndarray  # (F,) int32 source frame
+    valid: jnp.ndarray  # (F,) bool
+    # NRSfM per-keyframe surface (depth spline + per-kp normals)
+    surf_ctrl: jnp.ndarray  # (F, nu, nv) control depths
+    surf_valid: jnp.ndarray  # (F,) bool — surface estimated
+    norm_k: jnp.ndarray  # (F, K, 2) per-keypoint (k1, k2)
+    norm_valid: jnp.ndarray  # (F, K) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.pose.shape[0]
+
+
+class PointStore(NamedTuple):
+    """All map points, SoA.  Equivalent of MapPoint + DefMapPoint: position,
+    distinctive descriptor, template embedding (facet + barycentric,
+    DefMapPoint.cc:97-147), reference keyframe/keypoint."""
+
+    xyz: jnp.ndarray  # (P, 3) world
+    desc: jnp.ndarray  # (P, 8) uint32 distinctive descriptor
+    facet: jnp.ndarray  # (P,) int32 template facet (-1 if unembedded)
+    bary: jnp.ndarray  # (P, 3)
+    ref_kf: jnp.ndarray  # (P,) int32
+    ref_kp: jnp.ndarray  # (P,) int32 keypoint index in ref KF
+    valid: jnp.ndarray  # (P,) bool
+    n_obs: jnp.ndarray  # (P,) int32 — observation count (for culling)
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+
+def empty_keyframes(cfg: Config) -> KeyframeStore:
+    f = cfg.capacity.max_keyframes
+    k = cfg.orb.max_keypoints
+    nu, nv = cfg.mapping.sfn_ctrl_u, cfg.mapping.sfn_ctrl_v
+    return KeyframeStore(
+        pose=jnp.tile(jnp.eye(4)[None], (f, 1, 1)),
+        xy=jnp.zeros((f, k, 2)),
+        retina=jnp.zeros((f, k, 2)),
+        desc=jnp.zeros((f, k, 8), jnp.uint32),
+        level=jnp.zeros((f, k), jnp.int32),
+        angle=jnp.zeros((f, k)),
+        kp_valid=jnp.zeros((f, k), bool),
+        point_id=jnp.full((f, k), -1, jnp.int32),
+        frame_id=jnp.full((f,), -1, jnp.int32),
+        valid=jnp.zeros((f,), bool),
+        surf_ctrl=jnp.ones((f, nu, nv)),
+        surf_valid=jnp.zeros((f,), bool),
+        norm_k=jnp.zeros((f, k, 2)),
+        norm_valid=jnp.zeros((f, k), bool),
+    )
+
+
+def empty_points(cfg: Config) -> PointStore:
+    p = cfg.capacity.max_map_points
+    return PointStore(
+        xyz=jnp.zeros((p, 3)),
+        desc=jnp.zeros((p, 8), jnp.uint32),
+        facet=jnp.full((p,), -1, jnp.int32),
+        bary=jnp.zeros((p, 3)),
+        ref_kf=jnp.full((p,), -1, jnp.int32),
+        ref_kp=jnp.full((p,), -1, jnp.int32),
+        valid=jnp.zeros((p,), bool),
+        n_obs=jnp.zeros((p,), jnp.int32),
+    )
+
+
+def add_keyframe(
+    kfs: KeyframeStore,
+    slot: int,
+    pose: jnp.ndarray,
+    feats: Features,
+    retina: jnp.ndarray,
+    point_id: jnp.ndarray,
+    frame_id: int,
+) -> KeyframeStore:
+    """Functionally insert a keyframe at `slot` (host picks the slot —
+    lowest invalid index, or recycles the oldest)."""
+    return kfs._replace(
+        pose=kfs.pose.at[slot].set(pose),
+        xy=kfs.xy.at[slot].set(feats.xy),
+        retina=kfs.retina.at[slot].set(retina),
+        desc=kfs.desc.at[slot].set(feats.desc),
+        level=kfs.level.at[slot].set(feats.level),
+        angle=kfs.angle.at[slot].set(feats.angle),
+        kp_valid=kfs.kp_valid.at[slot].set(feats.valid),
+        point_id=kfs.point_id.at[slot].set(point_id),
+        frame_id=kfs.frame_id.at[slot].set(frame_id),
+        valid=kfs.valid.at[slot].set(True),
+        surf_valid=kfs.surf_valid.at[slot].set(False),
+        norm_valid=kfs.norm_valid.at[slot].set(jnp.zeros_like(kfs.norm_valid[slot])),
+    )
+
+
+def covisibility(kfs: KeyframeStore, slot_a: int, slot_b) -> jnp.ndarray:
+    """Number of shared map points between two keyframes (covisibility
+    graph weight, KeyFrame.cc UpdateConnections equivalent)."""
+    ida = kfs.point_id[slot_a]
+    idb = kfs.point_id[slot_b]
+    va = ida >= 0
+    shared = va[:, None] & (idb[None, :] >= 0) & (ida[:, None] == idb[None, :])
+    return jnp.sum(shared.any(axis=1))

@@ -1,0 +1,575 @@
+"""defslam_tpu.System — the public API and host-side orchestrator.
+
+Equivalent of the reference's ``defSLAM::System`` (``Modules/Common/System.cc``)
+plus the state machines of ``DefTracking`` (``Modules/Tracking/DefTracking.cc``)
+and ``DefLocalMapping`` (``Modules/Mapping/DefLocalMapping.cc``).  The host
+holds the SoA stores, decides *what* to compute (keyframe cadence, covisible
+pairs, template regeneration), and calls the jitted kernels that do all the
+math on device.  This mirrors the reference's sequential mode
+(``#undef PARALLEL``, System.cc:324-327): tracking and mapping run in one
+thread; JAX's async dispatch overlaps device work with host bookkeeping.
+
+Per-frame flow (reference call stack SURVEY 3.2):
+  extract -> [init: plane template, DefTracking.cc:583-664]
+          -> project-match (SearchByProjection) -> SfT solve
+          -> inlier bookkeeping -> KF every `keyframe_period` frames
+          -> mapping step (warps -> normals -> SfN -> Sim3 -> re-template)
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from defslam_tpu.config import Config
+from defslam_tpu.frontend import Features, extract_features
+from defslam_tpu.geometry import camera as cam
+from defslam_tpu.geometry import se3
+from defslam_tpu.mapping import mapper
+from defslam_tpu.mapping import normals as nrm
+from defslam_tpu.mapstore import state as store
+from defslam_tpu.template import mesh as meshmod
+from defslam_tpu.tracking import tracker
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class FrameResult:
+    pose: np.ndarray
+    state: TrackingState
+    n_matches: int
+    n_inliers: int
+    is_keyframe: bool
+    template_updated: bool
+
+
+class System:
+    """Monocular deformable SLAM.
+
+    Reference API parity (System.h:62-202): TrackMonocular, Reset, Restart,
+    Shutdown, ActivateLocalizationMode / DeactivateLocalizationMode,
+    GetTrackingState; the GT variants live in defslam_tpu.groundtruth.
+    """
+
+    def __init__(self, cfg: Config | str | None = None):
+        if isinstance(cfg, str):
+            cfg = Config.from_yaml(cfg)
+        self.cfg = cfg or Config()
+        c = self.cfg
+        self.K = jnp.asarray(c.camera.K)
+        self.dom = cam.retina_domain(self.K, c.camera.width, c.camera.height)
+        self.topo = meshmod.grid_topology(c.mesh.nodes_u, c.mesh.nodes_v)
+        self.bend_warp = mapper.bending_for(
+            np.asarray(self.dom), c.mapping.warp_ctrl_u, c.mapping.warp_ctrl_v
+        )
+        self.bend_sfn = mapper.bending_for(
+            np.asarray(self.dom), c.mapping.sfn_ctrl_u, c.mapping.sfn_ctrl_v
+        )
+        self._localization_only = False
+        self._metrics: list[dict] = []
+        self.reset()
+
+    # ----------------------------------------------------------- lifecycle
+
+    def reset(self):
+        """Full map reset (System::Reset -> Tracking/DefLocalMapping reset)."""
+        self.kfs = store.empty_keyframes(self.cfg)
+        self.points = store.empty_points(self.cfg)
+        self.template: meshmod.Template | None = None
+        self.template_ref_kf = -1
+        self.pose = jnp.eye(4)
+        self.nodes_anchor = None
+        self.state = TrackingState.NO_IMAGES_YET
+        self.frame_id = -1
+        self.frames_since_kf = 0
+        self.trajectory: list[np.ndarray] = []
+
+    def restart(self):
+        """System::Restart (System.cc:254-266): put the template back to its
+        rest shape, keep the map."""
+        if self.template is not None:
+            self.template = self.template._replace(nodes=self.template.nodes_rest)
+            self.points = tracker.reposition_points(
+                self.points, self.template.nodes, self.cfg
+            )
+
+    def shutdown(self):
+        """No threads to join in the sequential design; flush metrics."""
+        return None
+
+    def activate_localization_mode(self):
+        self._localization_only = True
+
+    def deactivate_localization_mode(self):
+        self._localization_only = False
+
+    def get_tracking_state(self) -> TrackingState:
+        return self.state
+
+    # ------------------------------------------------------------ tracking
+
+    def track_monocular(self, img, timestamp: float = 0.0) -> np.ndarray | None:
+        """Process one grayscale frame; returns the world->camera pose (4x4)
+        or None while not initialized/lost (System::TrackMonocular)."""
+        self.frame_id += 1
+        img = jnp.asarray(img)
+        if img.ndim == 3:
+            img = jnp.mean(img.astype(jnp.float32), axis=-1)
+        feats = extract_features(img, self.cfg)
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED,
+                          TrackingState.LOST):
+            ok = self._initialize(feats, timestamp)
+            self.state = TrackingState.OK if ok else TrackingState.NOT_INITIALIZED
+            self._record(timestamp, 0, 0, ok, ok)
+            return np.asarray(self.pose) if ok else None
+        result = self._track(feats, timestamp)
+        return np.asarray(self.pose) if result.state == TrackingState.OK else None
+
+    def track_monocular_gt(
+        self, img_left, img_right, timestamp: float = 0.0, baseline: float = 0.1
+    ):
+        """Track on the left image and evaluate against stereo-NCC ground
+        truth (System::TrackMonocularGT, System.cc:268-341)."""
+        pose = self.track_monocular(img_left, timestamp)
+        if pose is not None and self.cfg.save_results:
+            self._gt_evaluator().evaluate_stereo(
+                self, img_left, img_right, baseline, timestamp
+            )
+        return pose
+
+    def track_monocular_ct(self, img, depth_map, timestamp: float = 0.0):
+        """Track and evaluate against a per-frame GT depth map
+        (System::TrackMonocularCTGT, System.cc:343-416)."""
+        pose = self.track_monocular(img, timestamp)
+        if pose is not None and self.cfg.save_results:
+            self._gt_evaluator().evaluate_depth(self, np.asarray(depth_map), timestamp)
+        return pose
+
+    def _gt_evaluator(self):
+        if not hasattr(self, "_gt_eval") or self._gt_eval is None:
+            from defslam_tpu.groundtruth.gt import GroundTruthEvaluator
+
+            self._gt_eval = GroundTruthEvaluator(self.cfg)
+        return self._gt_eval
+
+    # ------------------------------------------------------ initialization
+
+    def _initialize(self, feats: Features, timestamp: float) -> bool:
+        """Plane-at-z=1 monocular initialization (DefTracking.cc:583-664):
+        every keypoint becomes a map point on the plane z=1 through its
+        retina ray; the template is the plane mesh over the retina domain."""
+        n_valid = int(jnp.sum(feats.valid))
+        if n_valid < self.cfg.tracking.min_inliers_ok * 2:
+            return False
+        c = self.cfg
+        retina = cam.to_retina(self.K, feats.xy)
+        nodes = meshmod.grid_nodes_from_surface(
+            lambda u, v: jnp.stack([u, v, jnp.ones_like(u)], axis=-1),
+            self.dom,
+            self.topo,
+        )
+        self.template = meshmod.make_template(nodes, self.topo)
+        self.template_ref_kf = 0
+        self.nodes_anchor = self.template.nodes
+
+        facet, bary, inside = meshmod.embed_uv(retina, self.dom, self.topo)
+        usable = np.asarray(feats.valid & inside)
+        k = feats.capacity
+        p_cap = c.capacity.max_map_points
+        idx_kp = np.nonzero(usable)[0][: min(k, p_cap)]
+        n = len(idx_kp)
+        if n < c.tracking.min_inliers_ok:
+            return False
+
+        xyz = np.zeros((p_cap, 3), np.float32)
+        r = np.asarray(retina)
+        xyz[:n] = np.concatenate([r[idx_kp], np.ones((n, 1), np.float32)], axis=1)
+        pts = store.empty_points(c)
+        point_valid = np.zeros(p_cap, bool)
+        point_valid[:n] = True
+        pid_of_kp = np.full(k, -1, np.int32)
+        pid_of_kp[idx_kp] = np.arange(n)
+        self.points = pts._replace(
+            xyz=jnp.asarray(xyz),
+            desc=jnp.asarray(np.asarray(feats.desc)[idx_kp.tolist() + [0] * (p_cap - n)]),
+            facet=jnp.asarray(
+                np.concatenate([np.asarray(facet)[idx_kp], -np.ones(p_cap - n, np.int32)])
+            ),
+            bary=jnp.asarray(
+                np.concatenate([np.asarray(bary)[idx_kp], np.zeros((p_cap - n, 3), np.float32)])
+            ),
+            ref_kf=jnp.asarray(np.where(point_valid, 0, -1).astype(np.int32)),
+            ref_kp=jnp.asarray(
+                np.concatenate([idx_kp, -np.ones(p_cap - n)]).astype(np.int32)
+            ),
+            valid=jnp.asarray(point_valid),
+            n_obs=jnp.asarray(point_valid.astype(np.int32)),
+        )
+        self.pose = jnp.eye(4)
+        self.kfs = store.add_keyframe(
+            store.empty_keyframes(c), 0, self.pose, feats, retina,
+            jnp.asarray(pid_of_kp), self.frame_id,
+        )
+        self.frames_since_kf = 0
+        self.trajectory.append(np.asarray(self.pose))
+        return True
+
+    # ------------------------------------------------------------ tracking
+
+    def _track(self, feats: Features, timestamp: float) -> FrameResult:
+        c = self.cfg
+        matches = tracker.match_points_to_frame(
+            self.points, self.pose, self.K, feats, c
+        )
+        n_matches = int(matches.n_matches)
+        if n_matches < c.tracking.min_inliers_ok:
+            # wider search window once (TrackWithMotionModel retry, then LOST)
+            matches = tracker.match_points_to_frame(
+                self.points, self.pose, self.K, feats, c,
+                window=2.0 * c.tracking.projection_window,
+            )
+            n_matches = int(matches.n_matches)
+        if n_matches < c.tracking.min_inliers_ok:
+            self.state = TrackingState.LOST
+            self._record(timestamp, n_matches, 0, False, False)
+            return FrameResult(np.asarray(self.pose), self.state, n_matches, 0,
+                               False, False)
+
+        res = tracker.sft_track(
+            self.points, matches, feats,
+            self.template.nodes, self.nodes_anchor,
+            self.template.rest_len, self.template.lap_rest,
+            self.pose, self.K, c,
+        )
+        n_inliers = int(res.inlier.sum())
+        if n_inliers < c.tracking.min_inliers_ok:
+            self.state = TrackingState.LOST
+            self._record(timestamp, n_matches, n_inliers, False, False)
+            return FrameResult(np.asarray(self.pose), self.state, n_matches,
+                               n_inliers, False, False)
+
+        self.pose = res.T
+        self.nodes_anchor = res.nodes
+        self.template = self.template._replace(nodes=res.nodes)
+        self.points = tracker.reposition_points(self.points, res.nodes, c)
+        self.trajectory.append(np.asarray(self.pose))
+        self.state = TrackingState.OK
+
+        self.frames_since_kf += 1
+        is_kf = (
+            not self._localization_only
+            and self.frames_since_kf >= c.tracking.keyframe_period
+        )
+        template_updated = False
+        if is_kf:
+            template_updated = self._insert_keyframe(feats, matches, res)
+            self.frames_since_kf = 0
+        self._record(timestamp, n_matches, n_inliers, is_kf, template_updated)
+        return FrameResult(np.asarray(self.pose), self.state, n_matches,
+                           n_inliers, is_kf, template_updated)
+
+    # ------------------------------------------------------------- mapping
+
+    def _free_kf_slot(self) -> int:
+        valid = np.asarray(self.kfs.valid)
+        free = np.nonzero(~valid)[0]
+        if len(free):
+            return int(free[0])
+        # recycle the oldest non-template keyframe
+        fid = np.asarray(self.kfs.frame_id).copy()
+        fid[self.template_ref_kf] = np.iinfo(np.int32).max
+        return int(np.argmin(fid))
+
+    def _insert_keyframe(self, feats: Features, matches, res) -> bool:
+        """CreateNewKeyFrame + the sequential mapping step
+        (DefLocalMapping::insideTheLoop)."""
+        c = self.cfg
+        slot = self._free_kf_slot()
+        retina = cam.to_retina(self.K, feats.xy)
+        # invert point->kp matches into the KF's kp->point table
+        kp_of_point = np.asarray(matches.kp_of_point)
+        inlier = np.asarray(res.inlier)
+        pid_of_kp = np.full(feats.capacity, -1, np.int32)
+        sel = np.nonzero((kp_of_point >= 0) & inlier)[0]
+        pid_of_kp[kp_of_point[sel]] = sel
+        self.kfs = store.add_keyframe(
+            self.kfs, slot, self.pose, feats, retina,
+            jnp.asarray(pid_of_kp), self.frame_id,
+        )
+        # observation counts (for culling parity later)
+        self.points = self.points._replace(
+            n_obs=self.points.n_obs.at[jnp.asarray(sel)].add(1)
+        )
+        return self._mapping_step(slot)
+
+    def _covisible(self, slot: int) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """Keyframes sharing >= min_shared_points with `slot`, with the
+        matched keypoint indices (SchwarpDatabase::add anchor selection)."""
+        c = self.cfg
+        pid_new = np.asarray(self.kfs.point_id[slot])
+        valid = np.asarray(self.kfs.valid)
+        out = []
+        for i in np.nonzero(valid)[0]:
+            if i == slot:
+                continue
+            pid_i = np.asarray(self.kfs.point_id[i])
+            # map point -> kp index in each KF
+            common, ia, ib = np.intersect1d(
+                pid_new[pid_new >= 0], pid_i[pid_i >= 0], return_indices=True
+            )
+            if len(common) >= c.mapping.min_shared_points:
+                kp_new = np.nonzero(pid_new >= 0)[0][ia]
+                kp_i = np.nonzero(pid_i >= 0)[0][ib]
+                out.append((int(i), kp_new, kp_i, common))
+        out.sort(key=lambda t: -len(t[3]))
+        return out[: c.capacity.max_warp_pairs]
+
+    def _mapping_step(self, slot: int) -> bool:
+        """Warps -> normals -> (maybe) SfN + registration + re-template."""
+        c = self.cfg
+        pairs = self._covisible(slot)
+        if not pairs:
+            return False
+
+        # ---- batched warp fitting (new KF -> each covisible KF)
+        np_pairs = len(pairs)
+        uv1 = np.zeros((np_pairs, mapper.PAIR_CAP, 2), np.float32)
+        uv2 = np.zeros_like(uv1)
+        msk = np.zeros((np_pairs, mapper.PAIR_CAP), bool)
+        retina_new = np.asarray(self.kfs.retina[slot])
+        for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
+            m = min(len(kp_new), mapper.PAIR_CAP)
+            uv1[pi, :m] = retina_new[kp_new[:m]]
+            uv2[pi, :m] = np.asarray(self.kfs.retina[i])[kp_i[:m]]
+            msk[pi, :m] = True
+        batch = mapper.WarpBatch(
+            uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2), mask=jnp.asarray(msk),
+            pair_valid=jnp.ones(np_pairs, bool),
+        )
+        dps = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
+
+        # ---- per-point observation accumulation (host scatter)
+        p_cap = c.capacity.max_map_points
+        obs_uv1 = np.zeros((p_cap, mapper.OBS_CAP, 2), np.float32)
+        obs_uv2 = np.zeros_like(obs_uv1)
+        obs_J = np.tile(np.eye(2, dtype=np.float32), (p_cap, mapper.OBS_CAP, 1, 1))
+        obs_Huu = np.zeros((p_cap, mapper.OBS_CAP, 2), np.float32)
+        obs_Hvv = np.zeros_like(obs_Huu)
+        obs_msk = np.zeros((p_cap, mapper.OBS_CAP), bool)
+        counts = np.zeros(p_cap, np.int32)
+        dmask = np.asarray(dps.mask)
+        dwarp = np.asarray(dps.warped)
+        dJ = np.asarray(dps.J12)
+        dHuu = np.asarray(dps.Huu)
+        dHvv = np.asarray(dps.Hvv)
+        for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
+            m = min(len(kp_new), mapper.PAIR_CAP)
+            for j in range(m):
+                if not dmask[pi, j]:
+                    continue
+                pid = int(common[j])
+                o = counts[pid]
+                if o >= mapper.OBS_CAP:
+                    continue
+                obs_uv1[pid, o] = uv1[pi, j]
+                obs_uv2[pid, o] = dwarp[pi, j]
+                obs_J[pid, o] = dJ[pi, j]
+                obs_Huu[pid, o] = dHuu[pi, j]
+                obs_Hvv[pid, o] = dHvv[pi, j]
+                obs_msk[pid, o] = True
+                counts[pid] += 1
+
+        obs = nrm.PairObs(
+            uv1=jnp.asarray(obs_uv1), uv2=jnp.asarray(obs_uv2),
+            J12=jnp.asarray(obs_J), Huu=jnp.asarray(obs_Huu),
+            Hvv=jnp.asarray(obs_Hvv), mask=jnp.asarray(obs_msk),
+        )
+        nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
+
+        # write normals into the new keyframe at the matched keypoints
+        pid_new = np.asarray(self.kfs.point_id[slot])
+        kp_idx = np.nonzero(pid_new >= 0)[0]
+        pids = pid_new[kp_idx]
+        have = np.asarray(nres.valid)[pids] & (np.asarray(nres.n_obs)[pids] > 0)
+        kp_sel = kp_idx[have]
+        k_sel = np.asarray(nres.k)[pids[have]]
+        self.kfs = self.kfs._replace(
+            norm_k=self.kfs.norm_k.at[slot, jnp.asarray(kp_sel)].set(
+                jnp.asarray(k_sel)
+            ),
+            norm_valid=self.kfs.norm_valid.at[slot, jnp.asarray(kp_sel)].set(True),
+        )
+
+        # ---- template decision (needNewTemplate, DefLocalMapping.cc:355-404)
+        feats_valid = np.asarray(self.kfs.kp_valid[slot])
+        unmatched = int(np.sum(feats_valid & (pid_new < 0)))
+        n_normals = int(len(kp_sel))
+        if unmatched < c.mapping.points_to_template or n_normals < c.mapping.min_normals:
+            return False
+        return self._retemplate(slot)
+
+    def _retemplate(self, slot: int) -> bool:
+        """NRSfM surface for the KF + Sim3 registration + template swap
+        (DefLocalMapping::NRSfM 172-234 and updateTemplate 138-153)."""
+        c = self.cfg
+        retina = self.kfs.retina[slot]
+        res_sfn = mapper.integrate_surface(
+            retina, self.kfs.norm_k[slot], self.kfs.norm_valid[slot],
+            self.dom, self.bend_sfn, c,
+        )
+        if not bool(res_sfn.ok):
+            return False
+
+        # registration pairs: matched keypoints' current map positions
+        pid = np.asarray(self.kfs.point_id[slot])
+        kp_idx = np.nonzero(pid >= 0)[0]
+        pose = self.kfs.pose[slot]
+        map_cam = se3.transform(pose, self.points.xyz)  # (P, 3)
+        k_cap = self.kfs.xy.shape[1]
+        surf_xyz = np.zeros((k_cap, 3), np.float32)
+        map_xyz = np.zeros((k_cap, 3), np.float32)
+        mask = np.zeros(k_cap, bool)
+        surf_np = np.asarray(res_sfn.xyz)
+        map_np = np.asarray(map_cam)
+        pvalid = np.asarray(self.points.valid)
+        for kp in kp_idx:
+            p = pid[kp]
+            if pvalid[p]:
+                surf_xyz[kp] = surf_np[kp]
+                map_xyz[kp] = map_np[p]
+                mask[kp] = True
+        reg = mapper.register_surface(
+            jnp.asarray(surf_xyz), jnp.asarray(map_xyz), jnp.asarray(mask), c
+        )
+        if not bool(reg.accepted):
+            return False
+
+        regen = mapper.regen_template(
+            res_sfn.ctrl, reg, pose, retina, self.dom, c
+        )
+        self.template = regen.template
+        self.template_ref_kf = slot
+        self.nodes_anchor = regen.template.nodes
+
+        # ---- CreateNewMapPoints (DefLocalMapping.cc:240-347):
+        # reposition points seen by this KF onto the surface; re-embed all
+        # points via their projection into the ref KF; create points for
+        # unmatched keypoints.
+        pts_xyz = np.asarray(self.points.xyz).copy()
+        pts_valid = np.asarray(self.points.valid).copy()
+        pts_facet = np.asarray(self.points.facet).copy()
+        pts_bary = np.asarray(self.points.bary).copy()
+        pts_desc = np.asarray(self.points.desc).copy()
+        pts_ref_kf = np.asarray(self.points.ref_kf).copy()
+        pts_ref_kp = np.asarray(self.points.ref_kp).copy()
+        pts_nobs = np.asarray(self.points.n_obs).copy()
+
+        new_xyz = np.asarray(regen.point_xyz)
+        inside = np.asarray(regen.point_inside)
+        for kp in kp_idx:
+            p = pid[kp]
+            if pts_valid[p] and inside[kp]:
+                pts_xyz[p] = new_xyz[kp]
+
+        # re-embed every valid point through the ref-KF retina projection
+        proj = np.asarray(
+            cam.to_retina(
+                self.K,
+                cam.project(self.K, se3.transform(pose, jnp.asarray(pts_xyz))),
+            )
+        )
+        # (to_retina(project(...)) == camera-frame (x/z, y/z))
+        facet_all, bary_all, inside_all = meshmod.embed_uv(
+            jnp.asarray(proj), self.dom, self.topo
+        )
+        facet_np = np.asarray(facet_all)
+        bary_np = np.asarray(bary_all)
+        in_np = np.asarray(inside_all)
+        behind = np.asarray(se3.transform(pose, jnp.asarray(pts_xyz)))[:, 2] <= 1e-6
+        for p in range(len(pts_valid)):
+            if not pts_valid[p]:
+                continue
+            if in_np[p] and not behind[p]:
+                pts_facet[p] = facet_np[p]
+                pts_bary[p] = bary_np[p]
+            else:
+                pts_facet[p] = -1
+
+        # new points from unmatched keypoints
+        feats_valid = np.asarray(self.kfs.kp_valid[slot])
+        desc_kf = np.asarray(self.kfs.desc[slot])
+        free = np.nonzero(~pts_valid)[0]
+        new_kps = np.nonzero(feats_valid & (pid < 0) & inside)[0]
+        pid_updates = {}
+        rfacet = np.asarray(regen.point_facet)
+        rbary = np.asarray(regen.point_bary)
+        for kp, p in zip(new_kps, free):
+            pts_valid[p] = True
+            pts_xyz[p] = new_xyz[kp]
+            pts_desc[p] = desc_kf[kp]
+            pts_facet[p] = rfacet[kp]
+            pts_bary[p] = rbary[kp]
+            pts_ref_kf[p] = slot
+            pts_ref_kp[p] = kp
+            pts_nobs[p] = 1
+            pid_updates[int(kp)] = int(p)
+
+        self.points = store.PointStore(
+            xyz=jnp.asarray(pts_xyz),
+            desc=jnp.asarray(pts_desc),
+            facet=jnp.asarray(pts_facet),
+            bary=jnp.asarray(pts_bary),
+            ref_kf=jnp.asarray(pts_ref_kf),
+            ref_kp=jnp.asarray(pts_ref_kp),
+            valid=jnp.asarray(pts_valid),
+            n_obs=jnp.asarray(pts_nobs),
+        )
+        if pid_updates:
+            kps = jnp.asarray(list(pid_updates.keys()))
+            ps = jnp.asarray(list(pid_updates.values()), jnp.int32)
+            self.kfs = self.kfs._replace(
+                point_id=self.kfs.point_id.at[slot, kps].set(ps)
+            )
+        self.kfs = self.kfs._replace(
+            surf_ctrl=self.kfs.surf_ctrl.at[slot].set(res_sfn.ctrl),
+            surf_valid=self.kfs.surf_valid.at[slot].set(True),
+        )
+        return True
+
+    # ------------------------------------------------------------- metrics
+
+    def _record(self, timestamp, n_matches, n_inliers, is_kf, tmpl):
+        self._metrics.append(
+            dict(
+                frame=self.frame_id, t=timestamp, matches=n_matches,
+                inliers=n_inliers, keyframe=bool(is_kf),
+                template=bool(tmpl), state=self.state.name,
+            )
+        )
+
+    def write_metrics(self, outdir: str | None = None):
+        """Matches.txt-compatible output (Tracking.cc:150-167 text streams)."""
+        outdir = outdir or self.cfg.output_dir
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "Matches.txt"), "w") as f:
+            for m in self._metrics:
+                f.write(
+                    f"{m['t']:.6f} {m['matches']} {m['inliers']} "
+                    f"{int(m['keyframe'])} {int(m['template'])} {m['state']}\n"
+                )
+        with open(os.path.join(outdir, "Trajectory.txt"), "w") as f:
+            for T in self.trajectory:
+                f.write(" ".join(f"{x:.8f}" for x in T.reshape(-1)) + "\n")
+        if getattr(self, "_gt_eval", None) is not None:
+            self._gt_eval.outdir = outdir
+            self._gt_eval.write()

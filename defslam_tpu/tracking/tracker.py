@@ -1,0 +1,131 @@
+"""Per-frame deformable tracking kernels (jitted building blocks).
+
+The TPU re-design of ``DefTracking`` (``Modules/Tracking/DefTracking.cc``):
+``TrackWithMotionModel``'s projection search (342-408, via
+``DefORBmatcher::SearchByProjection`` 296-450 — restricted to
+template-embedded points) and ``TrackLocalMap``'s SfT optimization (234-339)
+become two jitted batched ops; the state machine lives in
+``defslam_tpu.system``.
+
+The reference's 64x48 frame grid for windowed candidate lookup is replaced
+by a dense masked Hamming matrix (ops.matching) — at <=1536 keypoints the
+full matrix is cheaper on TPU than gather-based grid queries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from defslam_tpu.config import Config
+from defslam_tpu.frontend import Features
+from defslam_tpu.geometry import camera as cam
+from defslam_tpu.geometry import se3
+from defslam_tpu.mapstore.state import PointStore
+from defslam_tpu.ops import matching
+from defslam_tpu.template import mesh as meshmod
+from defslam_tpu.tracking import sft
+
+
+class FrameMatches(NamedTuple):
+    kp_of_point: jnp.ndarray  # (P,) int32 — frame keypoint for each map point
+    dist: jnp.ndarray  # (P,) int32
+    n_matches: jnp.ndarray  # () int32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_points_to_frame(
+    points: PointStore,
+    pose: jnp.ndarray,
+    K: jnp.ndarray,
+    feats: Features,
+    cfg: Config,
+    window: float | None = None,
+) -> FrameMatches:
+    """Project map points with the pose prior and match to frame keypoints
+    within a pixel window (SearchByProjection semantics: only points embedded
+    in the template, DefORBmatcher.cc:331-332; window scales with pyramid
+    level like the reference's th*scaleFactor^level)."""
+    w = cfg.tracking.projection_window if window is None else window
+    pc = se3.transform(pose, points.xyz)
+    uv = cam.project(K, pc)
+    in_front = pc[..., 2] > 1e-6
+    in_img = cam.in_image(uv, cfg.camera.width, cfg.camera.height)
+    ok_p = points.valid & (points.facet >= 0) & in_front & in_img
+
+    # per-keypoint window scaled by its pyramid level
+    scale = cfg.orb.scale_factor ** feats.level.astype(jnp.float32)
+    d = jnp.abs(uv[:, None, :] - feats.xy[None, :, :])  # (P, K, 2)
+    inside = jnp.max(d, axis=-1) <= w * scale[None, :]
+    dist = matching.masked_hamming(
+        points.desc, feats.desc, ok_p, feats.valid, pair_mask=inside
+    )
+    m = matching.best_match(
+        dist,
+        max_dist=cfg.tracking.match_th_high,
+        nn_ratio=cfg.tracking.nn_ratio,
+        mutual=True,
+    )
+    return FrameMatches(
+        kp_of_point=m.idx,
+        dist=m.dist,
+        n_matches=jnp.sum(m.idx >= 0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reg_temp"))
+def sft_track(
+    points: PointStore,
+    matches: FrameMatches,
+    feats: Features,
+    nodes: jnp.ndarray,
+    nodes_anchor: jnp.ndarray,
+    rest_len: jnp.ndarray,
+    lap_rest: jnp.ndarray,
+    pose0: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: Config,
+    reg_temp: float | None = None,
+) -> sft.SfTResult:
+    """Assemble the SfT problem from point->keypoint matches and solve.
+
+    Observation rows are the P map-point slots (static shape); unmatched or
+    invalid slots are masked out.  Per-observation information is the
+    pyramid-level invSigma2 (1/1.2^(2 lv)) like g2o's setInformation."""
+    topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+    kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
+    obs_uv = feats.xy[kp]
+    lv = feats.level[kp].astype(jnp.float32)
+    inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * lv))
+    mask = (matches.kp_of_point >= 0) & points.valid & (points.facet >= 0)
+    data = sft.SfTData(
+        K=K,
+        T0=pose0,
+        nodes0=nodes,
+        nodes_anchor=nodes_anchor,
+        rest_len=rest_len,
+        lap_rest=lap_rest,
+        obs_uv=obs_uv,
+        obs_face=points.facet,
+        obs_bary=points.bary,
+        obs_invsigma2=inv_sigma2,
+        obs_mask=mask,
+    )
+    return sft.solve(data, topo, cfg, reg_temp=reg_temp)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def reposition_points(
+    points: PointStore, nodes: jnp.ndarray, cfg: Config
+) -> PointStore:
+    """Recompute every embedded point from its barycentric embedding after a
+    mesh update (DefOptimizer.cc:568-577 -> DefMapPoint::RecalculatePosition)."""
+    topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+    new_xyz = meshmod.facet_positions(nodes, topo, points.facet, points.bary)
+    keep = points.valid & (points.facet >= 0)
+    return points._replace(
+        xyz=jnp.where(keep[:, None], new_xyz, points.xyz)
+    )

@@ -1,0 +1,74 @@
+import numpy as np
+import jax.numpy as jnp
+
+from defslam_tpu.config import (
+    CapacityConfig, Config, MappingConfig, OrbConfig, SfTConfig, TrackingConfig,
+)
+from defslam_tpu.groundtruth.gt import scaled_error, stereo_depth_ncc
+from defslam_tpu.io.synthetic import make_sequence
+
+
+def _cfg(cam):
+    return Config(
+        camera=cam,
+        orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+        sft=SfTConfig(lm_iterations=20),
+        tracking=TrackingConfig(keyframe_period=6),
+        capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+        mapping=MappingConfig(points_to_template=100000),
+        save_results=True,
+    )
+
+
+def test_scaled_error_identity():
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.normal(0, 1, (100, 3)) + [0, 0, 3.0], jnp.float32)
+    est = gt * 0.4  # pure scale difference
+    s, err, rmse = scaled_error(est, gt, jnp.ones(100, bool))
+    np.testing.assert_allclose(float(s), 2.5, rtol=1e-3)
+    assert float(rmse) < 1e-3
+
+
+def test_stereo_ncc_depth():
+    # planar scene: right image is the left shifted by a constant disparity
+    rng = np.random.default_rng(1)
+    import cv2
+
+    img = cv2.GaussianBlur(
+        rng.uniform(0, 255, (120, 200)).astype(np.float32), (0, 0), 1.5
+    )
+    disp_true = 9
+    img_r = np.roll(img, -disp_true, axis=1)
+    cfg = Config()
+    uv = jnp.asarray(
+        np.stack([rng.uniform(60, 180, 50), rng.uniform(20, 100, 50)], 1),
+        jnp.float32,
+    )
+    baseline_fx = 54.0  # depth = 54/disp = 6.0
+    depth, ok = stereo_depth_ncc(
+        jnp.asarray(img), jnp.asarray(img_r), uv, jnp.ones(50, bool),
+        baseline_fx, cfg,
+    )
+    ok = np.asarray(ok)
+    assert ok.sum() > 30
+    np.testing.assert_allclose(np.asarray(depth)[ok], 6.0, rtol=0.05)
+
+
+def test_ct_groundtruth_rmse_small_on_synthetic(tmp_path):
+    seq = make_sequence(n_frames=8, height=120, width=160, max_amp=0.06)
+    from defslam_tpu.system import System
+
+    cfg = _cfg(seq.camera)
+    sys_ = System(cfg)
+    for t in range(8):
+        sys_.track_monocular_ct(seq.frames[t], seq.depths[t], timestamp=float(t))
+    rows = sys_._gt_eval.rows
+    assert len(rows) >= 6
+    rmses = [r[1] for r in rows]
+    # tracked structure should match GT depth to a few % of the ~1.0 depth
+    assert np.median(rmses) < 0.06, f"GT RMSE {rmses}"
+    sys_.cfg = cfg  # write outputs
+    sys_._gt_eval.outdir = str(tmp_path)
+    sys_._gt_eval.write()
+    assert (tmp_path / "ErrorGTs0.txt").exists()
+    assert (tmp_path / "ScaleVariation.txt").exists()

@@ -1,0 +1,100 @@
+"""End-to-end tracking on a synthetic deforming sequence.
+
+The smoke-level equivalent of the reference's Mandala runs: initialize from
+the plane template, track a breathing surface, insert keyframes, run the
+NRSfM mapping step, and check the tracked 3D structure against GT depth.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from defslam_tpu.config import (
+    CapacityConfig, Config, MappingConfig, OrbConfig, SfTConfig, TrackingConfig,
+)
+from defslam_tpu.io.synthetic import make_sequence, surface_depth
+from defslam_tpu.system import System, TrackingState
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_sequence(n_frames=16, height=120, width=160, max_amp=0.08)
+
+
+@pytest.fixture(scope="module")
+def tracked(seq):
+    cam = seq.camera
+    cfg = Config(
+        camera=cam,
+        orb=OrbConfig(n_features=400, n_levels=3, max_keypoints=512),
+        sft=SfTConfig(lm_iterations=25),
+        tracking=TrackingConfig(keyframe_period=5),
+        capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+        mapping=MappingConfig(points_to_template=100000),  # no re-template here
+    )
+    sys_ = System(cfg)
+    results = []
+    for t in range(len(seq.frames)):
+        pose = sys_.track_monocular(seq.frames[t], timestamp=t / 10.0)
+        results.append((pose, sys_.get_tracking_state()))
+    return sys_, results
+
+
+def test_tracks_whole_sequence(tracked):
+    sys_, results = tracked
+    states = [s for _, s in results]
+    assert states[0] == TrackingState.OK  # initialized on frame 0
+    assert all(s == TrackingState.OK for s in states), states
+    m = sys_._metrics
+    # after init, tracking should keep a healthy inlier count
+    inl = [r["inliers"] for r in m[1:]]
+    assert min(inl) > 30, f"inliers dropped: {inl}"
+
+
+def test_keyframes_inserted(tracked):
+    sys_, _ = tracked
+    assert int(np.asarray(sys_.kfs.valid).sum()) >= 3
+
+
+def test_structure_matches_gt_depth(tracked, seq):
+    # tracked template surface should follow the GT deformation: compare
+    # depth of map points (projected along their retina ray) with GT
+    sys_, results = tracked
+    from defslam_tpu.geometry import se3
+    pts = np.asarray(sys_.points.xyz)
+    valid = np.asarray(sys_.points.valid) & (np.asarray(sys_.points.facet) >= 0)
+    pose = jnp.asarray(results[-1][0])
+    pc = np.asarray(se3.transform(pose, jnp.asarray(pts)))[valid]
+    u, v = pc[:, 0] / pc[:, 2], pc[:, 1] / pc[:, 2]
+    gt = surface_depth(u, v, seq.amps[len(seq.frames) - 1])
+    rel = np.abs(pc[:, 2] - gt) / gt
+    assert np.median(rel) < 0.05, f"median depth error {np.median(rel):.3f}"
+
+
+def test_localization_mode_inserts_no_keyframes(seq):
+    cam = seq.camera
+    cfg = Config(
+        camera=cam,
+        orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+        sft=SfTConfig(lm_iterations=15),
+        tracking=TrackingConfig(keyframe_period=3),
+        capacity=CapacityConfig(max_map_points=512, max_keyframes=8),
+    )
+    sys_ = System(cfg)
+    sys_.track_monocular(seq.frames[0])
+    sys_.activate_localization_mode()
+    for t in range(1, 8):
+        sys_.track_monocular(seq.frames[t])
+    assert int(np.asarray(sys_.kfs.valid).sum()) == 1  # only the init KF
+
+
+def test_metrics_written(tracked, tmp_path_factory):
+    sys_, _ = tracked
+    out = tmp_path_factory.mktemp("metrics")
+    sys_.write_metrics(str(out))
+    lines = (out / "Matches.txt").read_text().strip().splitlines()
+    assert len(lines) == len(sys_._metrics)
+    traj = (out / "Trajectory.txt").read_text().strip().splitlines()
+    assert len(traj) == len(sys_.trajectory)
