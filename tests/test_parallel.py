@@ -1,0 +1,104 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from defslam_tpu.config import Config, SfTConfig
+from defslam_tpu.geometry import camera as cam
+from defslam_tpu.geometry import se3
+from defslam_tpu.mapping import mapper
+from defslam_tpu.mapping import normals as nrm
+from defslam_tpu.ops import bspline
+from defslam_tpu.parallel import sharded
+from defslam_tpu.template import mesh as meshmod
+from defslam_tpu.tracking import sft
+
+
+def test_mesh_has_8_devices():
+    mesh = sharded.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def _toy_obs(p=64, o=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return nrm.PairObs(
+        uv1=jnp.asarray(rng.uniform(-0.2, 0.2, (p, o, 2)), jnp.float32),
+        uv2=jnp.asarray(rng.uniform(-0.2, 0.2, (p, o, 2)), jnp.float32),
+        J12=jnp.tile(jnp.eye(2), (p, o, 1, 1))
+        + jnp.asarray(rng.normal(0, 0.05, (p, o, 2, 2)), jnp.float32),
+        Huu=jnp.asarray(rng.normal(0, 0.1, (p, o, 2)), jnp.float32),
+        Hvv=jnp.asarray(rng.normal(0, 0.1, (p, o, 2)), jnp.float32),
+        mask=jnp.ones((p, o), bool),
+    )
+
+
+def test_sharded_normals_match_single_device():
+    obs = _toy_obs()
+    k0 = jnp.zeros((64, 2))
+    ref = nrm.solve_k1k2(obs, k0)
+    mesh = sharded.make_mesh()
+    out = sharded.sharded_normal_solves(mesh, obs, k0)
+    np.testing.assert_allclose(np.asarray(out.k), np.asarray(ref.k), atol=1e-4)
+
+
+def test_sharded_warp_fits_match_single_device():
+    cfg = Config()
+    dom = jnp.asarray([-0.5, 0.5, -0.4, 0.4], jnp.float32)
+    B = bspline.bending_matrix(dom, cfg.mapping.warp_ctrl_u, cfg.mapping.warp_ctrl_v)
+    rng = np.random.default_rng(1)
+    n_pairs = 8
+    uv1 = rng.uniform(-0.4, 0.4, (n_pairs, mapper.PAIR_CAP, 2)).astype(np.float32)
+    uv2 = uv1 + 0.01 * rng.normal(size=uv1.shape).astype(np.float32)
+    batch = mapper.WarpBatch(
+        uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+        mask=jnp.ones((n_pairs, mapper.PAIR_CAP), bool),
+        pair_valid=jnp.ones(n_pairs, bool),
+    )
+    ref = mapper.fit_warps(batch, dom, B, cfg)
+    mesh = sharded.make_mesh()
+    out = sharded.sharded_warp_fits(mesh, batch, dom, B, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out.warped), np.asarray(ref.warped), atol=1e-4
+    )
+
+
+def test_sharded_sft_solves():
+    # same synthetic setup as test_sft, solved on the 8-device mesh
+    cfg = Config(sft=SfTConfig(lm_iterations=30))
+    topo = meshmod.grid_topology(10, 10)
+    DOM = jnp.asarray([-0.4, 0.4, -0.3, 0.3])
+    K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    nodes_rest = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, jnp.ones_like(u)], axis=-1), DOM, topo
+    )
+    tmpl = meshmod.make_template(nodes_rest, topo)
+    rng = np.random.default_rng(0)
+    n = 256  # divisible by 8
+    uvp = np.stack(
+        [rng.uniform(-0.38, 0.38, n), rng.uniform(-0.28, 0.28, n)], 1
+    ).astype(np.float32)
+    facet, bary, _ = meshmod.embed_uv(jnp.asarray(uvp), DOM, topo)
+    gu = np.linspace(-0.4, 0.4, 10)
+    gv = np.linspace(-0.3, 0.3, 10)
+    U, V = np.meshgrid(gu, gv, indexing="ij")
+    dz = 0.06 * np.sin(2 * np.pi * U / 0.8) * np.cos(np.pi * V / 0.6)
+    nodes_true = nodes_rest + jnp.asarray(
+        np.stack([0 * dz, 0 * dz, dz], -1).reshape(-1, 3), jnp.float32
+    )
+    T_true = se3.se3_exp(jnp.asarray([0.01, -0.01, 0.02, 0.008, -0.01, 0.004]))
+    pts_true = meshmod.facet_positions(nodes_true, topo, facet, bary)
+    obs = cam.project(K, se3.transform(T_true, pts_true))
+    data = sft.SfTData(
+        K=K, T0=jnp.eye(4), nodes0=tmpl.nodes_rest,
+        nodes_anchor=tmpl.nodes_rest, rest_len=tmpl.rest_len,
+        lap_rest=tmpl.lap_rest, obs_uv=obs, obs_face=facet, obs_bary=bary,
+        obs_invsigma2=jnp.ones(n), obs_mask=jnp.ones(n, bool),
+    )
+    mesh = sharded.make_mesh()
+    T, nodes = sharded.sft_solve_sharded(mesh, data, cfg)
+    pts_est = meshmod.facet_positions(nodes, topo, facet, bary)
+    pc_est = np.asarray(se3.transform(T, pts_est))
+    pc_true = np.asarray(se3.transform(T_true, pts_true))
+    err = np.linalg.norm(pc_est - pc_true, axis=1)
+    assert np.median(err) < 0.03, f"sharded SfT median error {np.median(err):.4f}"
