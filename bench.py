@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: tracked frames/s of the full per-frame pipeline.
+
+Measures the end-to-end System.track_monocular loop (ORB extraction +
+projection matching + SfT camera/mesh solve + point reposing, with keyframe
+insertion + the NRSfM mapping step at the reference cadence of every 10th
+frame) on a synthetic 640x480 sequence at the reference's feature budget
+(1200 ORB features, ~100-node mesh, 50 LM iterations per frame —
+BASELINE.md).
+
+Baseline: the reference DefSLAM is "real-time" on a desktop i7 at the
+shipped 7 fps camera rate (README.md:30, stereo0_template.yaml); we take
+7 fps as the reference CPU throughput.  vs_baseline = ours / 7.0, so the
+BASELINE.json north star (>= 3x reference on one chip) corresponds to
+vs_baseline >= 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_FPS = 7.0
+
+
+def main():
+    quick = "--quick" in sys.argv
+    # persistent compilation cache: first-ever run pays the compiles, every
+    # later run (and later rounds) starts hot
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from defslam_tpu.config import (
+        CapacityConfig, Config, OrbConfig, SfTConfig, TrackingConfig,
+        MappingConfig,
+    )
+    from defslam_tpu.io.synthetic import make_sequence
+    from defslam_tpu.system import System
+
+    if quick:
+        seq = make_sequence(n_frames=8, height=120, width=160, max_amp=0.06)
+        cfg = Config(
+            camera=seq.camera,
+            orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+            sft=SfTConfig(lm_iterations=20),
+            tracking=TrackingConfig(keyframe_period=5),
+            capacity=CapacityConfig(max_map_points=512, max_keyframes=8),
+            mapping=MappingConfig(points_to_template=100000),
+        )
+        n_warm, n_meas = 6, 6  # warmup must cover a keyframe+mapping step
+    else:
+        seq = make_sequence(n_frames=24, height=480, width=640, max_amp=0.08)
+        cfg = Config(
+            camera=seq.camera,
+            orb=OrbConfig(n_features=1200, n_levels=6, max_keypoints=1536),
+            sft=SfTConfig(lm_iterations=50),
+            tracking=TrackingConfig(keyframe_period=10),
+            capacity=CapacityConfig(max_map_points=4096, max_keyframes=16),
+        )
+        n_warm, n_meas = 12, 12
+
+    sys_ = System(cfg)
+    # warmup phase compiles every kernel incl. one keyframe+mapping step
+    for t in range(n_warm):
+        sys_.track_monocular(seq.frames[t], timestamp=float(t))
+
+    t0 = time.perf_counter()
+    for t in range(n_warm, n_warm + n_meas):
+        pose = sys_.track_monocular(seq.frames[t % len(seq.frames)],
+                                    timestamp=float(t))
+    elapsed = time.perf_counter() - t0
+    fps = n_meas / elapsed
+
+    ok_frames = sum(1 for m in sys_._metrics if m["state"] == "OK")
+    result = {
+        "metric": "track_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_FPS, 3),
+    }
+    print(json.dumps(result))
+    if "--verbose" in sys.argv:
+        print(
+            f"# frames OK: {ok_frames}/{len(sys_._metrics)}, "
+            f"measured {n_meas} frames in {elapsed:.2f}s",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

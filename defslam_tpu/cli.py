@@ -1,0 +1,107 @@
+"""Command-line apps — parity with the reference executables
+(``CMakeLists.txt:103-113``: DefSLAM, DefSLAMGT, DefSLAMGTCT).
+
+    python -m defslam_tpu.cli mono   <yaml> <video|camera-index>
+    python -m defslam_tpu.cli stereo <yaml> <sequence-dir> [--start 200]
+    python -m defslam_tpu.cli ct     <yaml> <video> <depth-dir>
+    python -m defslam_tpu.cli synth  [--frames N]          (built-in demo)
+
+No vocabulary file argument: relocalization uses the descriptor index
+directly instead of a pre-trained DBoW2 text vocabulary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="defslam_tpu")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    mono = sub.add_parser("mono", help="monocular video/camera (DefSLAM app)")
+    mono.add_argument("yaml")
+    mono.add_argument("source")
+
+    st = sub.add_parser("stereo", help="stereo GT sequence (DefSLAMGT app)")
+    st.add_argument("yaml")
+    st.add_argument("directory")
+    st.add_argument("--start", type=int, default=200)
+    st.add_argument("--baseline", type=float, default=0.1)
+
+    ct = sub.add_parser("ct", help="video + depth-map GT (DefSLAMGTCT app)")
+    ct.add_argument("yaml")
+    ct.add_argument("video")
+    ct.add_argument("depth_dir")
+
+    sy = sub.add_parser("synth", help="synthetic demo sequence")
+    sy.add_argument("--frames", type=int, default=30)
+    sy.add_argument("--out", default="./out")
+
+    args = p.parse_args(argv)
+
+    from defslam_tpu.config import Config
+    from defslam_tpu.system import System
+
+    t_start = time.perf_counter()
+    if args.mode == "synth":
+        from defslam_tpu.io.synthetic import make_sequence
+
+        seq = make_sequence(n_frames=args.frames, height=240, width=320)
+        cfg = Config(camera=seq.camera, output_dir=args.out, save_results=True)
+        sys_ = System(cfg)
+        for t in range(args.frames):
+            sys_.track_monocular_ct(seq.frames[t], seq.depths[t], float(t))
+            _progress(sys_)
+    else:
+        cfg = Config.from_yaml(args.yaml)
+        sys_ = System(cfg)
+        if args.mode == "mono":
+            from defslam_tpu.io.datasets import load_video
+
+            src = int(args.source) if args.source.isdigit() else args.source
+            for img, ts in load_video(src):
+                sys_.track_monocular(img, ts)
+                _progress(sys_)
+        elif args.mode == "stereo":
+            from defslam_tpu.io.datasets import load_stereo_sequence
+
+            for left, right, ts in load_stereo_sequence(
+                args.directory, start=args.start
+            ):
+                sys_.track_monocular_gt(left, right, ts, baseline=args.baseline)
+                _progress(sys_)
+        elif args.mode == "ct":
+            from defslam_tpu.io.datasets import load_ct_sequence
+
+            for img, depth, ts in load_ct_sequence(args.video, args.depth_dir):
+                sys_.track_monocular_ct(img, depth, ts)
+                _progress(sys_)
+
+    sys_.write_metrics()
+    from defslam_tpu.viewer import export
+
+    export.snapshot(sys_, sys_.cfg.output_dir)
+    n = len(sys_._metrics)
+    dt = time.perf_counter() - t_start
+    print(f"\nprocessed {n} frames in {dt:.1f}s ({n / dt:.2f} fps); "
+          f"results in {sys_.cfg.output_dir}")
+    return 0
+
+
+def _progress(sys_):
+    m = sys_._metrics[-1]
+    print(
+        f"\rframe {m['frame']:5d} [{m['state']:>15s}] "
+        f"matches {m['matches']:4d} inliers {m['inliers']:4d}"
+        + (" KF" if m["keyframe"] else "   ")
+        + (" TEMPLATE" if m["template"] else ""),
+        end="",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,8 +148,10 @@ class CapacityConfig:
     max_map_points: int = 4096
     max_keyframes: int = 24
     # per-keyframe observation table capacity = OrbConfig.max_keypoints
-    # covisible warp pairs tracked at once
-    max_warp_pairs: int = 64
+    # covisible warp pairs fitted per mapping step (top-covisible selection;
+    # also the FIXED pair-batch shape — keep small, each pair is a 390-param
+    # LM fit)
+    max_warp_pairs: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,108 @@
+"""Dataset loaders matching the reference's app input layouts.
+
+Reference apps (``Apps/``):
+- ``DefSLAM <vocab> <yaml> <video|camera>``          (simple_camera.cc:4-55)
+- ``DefSLAMGT``: rectified stereo pairs named ``stereo_im_l_<t>.png`` /
+  ``stereo_im_r_<t>.png`` with microsecond timestamps, starting at frame 200
+  (stereo_groundtruth.cc:21-188, incl. cv::stereoRectify of raw pairs 56-94)
+- ``DefSLAMGTCT``: a video plus per-frame depth maps stored as text files
+  (simple_CT.cc:8-115, ``loadCT`` 97-115)
+
+Host-side OpenCV is used for image IO / undistort-rectify exactly like the
+reference (these never touch the device hot path).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Iterator
+
+import numpy as np
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.float32)
+
+
+def _timestamp_of(path: str) -> float:
+    m = re.search(r"_(\d+)\.(png|jpg|tiff?)$", os.path.basename(path))
+    return float(m.group(1)) / 1e6 if m else 0.0
+
+
+def load_stereo_sequence(
+    directory: str, start: int = 0
+) -> Iterator[tuple[np.ndarray, np.ndarray, float]]:
+    """Yield (left, right, timestamp) from a DefSLAMGT-layout directory.
+
+    The reference starts at frame 200 of the Mandala sequences
+    (stereo_groundtruth.cc:113); pass start=200 for parity.
+    """
+    lefts = sorted(
+        glob.glob(os.path.join(directory, "stereo_im_l_*.png")),
+        key=_timestamp_of,
+    )
+    for lp in lefts[start:]:
+        rp = lp.replace("stereo_im_l_", "stereo_im_r_")
+        if not os.path.exists(rp):
+            continue
+        yield _imread_gray(lp), _imread_gray(rp), _timestamp_of(lp)
+
+
+def rectify_maps(cfg_yaml: dict, size: tuple[int, int]):
+    """Stereo rectification maps from the reference's YAML calibration keys
+    (Camera.{K,D,R,P} left/right — stereo_groundtruth.cc:56-94)."""
+    import cv2
+
+    def mat(key, rows, cols):
+        return np.asarray(cfg_yaml[key], np.float64).reshape(rows, cols)
+
+    maps = {}
+    for side in ("l", "r"):
+        K = mat(f"Camera.K_{side}", 3, 3)
+        D = np.asarray(cfg_yaml.get(f"Camera.D_{side}", [0, 0, 0, 0]), np.float64)
+        R = mat(f"Camera.R_{side}", 3, 3)
+        P = mat(f"Camera.P_{side}", 3, 4)
+        maps[side] = cv2.initUndistortRectifyMap(
+            K, D, R, P[:3, :3], size, cv2.CV_32FC1
+        )
+    return maps
+
+
+def load_video(path_or_index) -> Iterator[tuple[np.ndarray, float]]:
+    """Yield (gray frame, timestamp) from a video file or camera index
+    (simple_camera.cc)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path_or_index)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
+        yield gray, i / fps
+        i += 1
+    cap.release()
+
+
+def load_ct_sequence(
+    video_path: str, depth_dir: str, pattern: str = "heartDepthMap_{}.txt"
+) -> Iterator[tuple[np.ndarray, np.ndarray, float]]:
+    """Yield (frame, depth_map, timestamp): video + per-frame depth text
+    files (simple_CT.cc loadCT 97-115: whitespace-separated depth values)."""
+    for i, (gray, t) in enumerate(load_video(video_path)):
+        dp = os.path.join(depth_dir, pattern.format(i))
+        if not os.path.exists(dp):
+            continue
+        depth = np.loadtxt(dp, dtype=np.float32)
+        if depth.ndim == 1:
+            depth = depth.reshape(gray.shape)
+        yield gray, depth, t

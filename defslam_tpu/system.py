@@ -23,6 +23,7 @@ import os
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from defslam_tpu.config import Config
@@ -125,15 +126,15 @@ class System:
         img = jnp.asarray(img)
         if img.ndim == 3:
             img = jnp.mean(img.astype(jnp.float32), axis=-1)
-        feats = extract_features(img, self.cfg)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED,
                           TrackingState.LOST):
+            feats = extract_features(img, self.cfg)
             ok = self._initialize(feats, timestamp)
             self.state = TrackingState.OK if ok else TrackingState.NOT_INITIALIZED
             self._record(timestamp, 0, 0, ok, ok)
             return np.asarray(self.pose) if ok else None
-        result = self._track(feats, timestamp)
-        return np.asarray(self.pose) if result.state == TrackingState.OK else None
+        result = self._track(img, timestamp)
+        return result.pose if result.state == TrackingState.OK else None
 
     def track_monocular_gt(
         self, img_left, img_right, timestamp: float = 0.0, baseline: float = 0.1
@@ -226,32 +227,32 @@ class System:
 
     # ------------------------------------------------------------ tracking
 
-    def _track(self, feats: Features, timestamp: float) -> FrameResult:
+    def _track(self, feats_or_img, timestamp: float) -> FrameResult:
         c = self.cfg
-        matches = tracker.match_points_to_frame(
-            self.points, self.pose, self.K, feats, c
+        feats, matches, res, new_points, stats = tracker.track_frame(
+            feats_or_img, self.points, self.pose,
+            self.template.nodes, self.nodes_anchor,
+            self.template.rest_len, self.template.lap_rest, self.K, c,
         )
-        n_matches = int(matches.n_matches)
+        # single host readback per frame: stats + pose together
+        stats_h, pose_h = jax.device_get((stats, res.T))
+        n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
         if n_matches < c.tracking.min_inliers_ok:
             # wider search window once (TrackWithMotionModel retry, then LOST)
-            matches = tracker.match_points_to_frame(
-                self.points, self.pose, self.K, feats, c,
-                window=2.0 * c.tracking.projection_window,
+            feats, matches, res, new_points, stats = tracker.track_frame(
+                feats_or_img, self.points, self.pose,
+                self.template.nodes, self.nodes_anchor,
+                self.template.rest_len, self.template.lap_rest, self.K, c,
+                window_scale=2.0,
             )
-            n_matches = int(matches.n_matches)
+            stats_h, pose_h = jax.device_get((stats, res.T))
+            n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
         if n_matches < c.tracking.min_inliers_ok:
             self.state = TrackingState.LOST
             self._record(timestamp, n_matches, 0, False, False)
             return FrameResult(np.asarray(self.pose), self.state, n_matches, 0,
                                False, False)
 
-        res = tracker.sft_track(
-            self.points, matches, feats,
-            self.template.nodes, self.nodes_anchor,
-            self.template.rest_len, self.template.lap_rest,
-            self.pose, self.K, c,
-        )
-        n_inliers = int(res.inlier.sum())
         if n_inliers < c.tracking.min_inliers_ok:
             self.state = TrackingState.LOST
             self._record(timestamp, n_matches, n_inliers, False, False)
@@ -261,8 +262,8 @@ class System:
         self.pose = res.T
         self.nodes_anchor = res.nodes
         self.template = self.template._replace(nodes=res.nodes)
-        self.points = tracker.reposition_points(self.points, res.nodes, c)
-        self.trajectory.append(np.asarray(self.pose))
+        self.points = new_points
+        self.trajectory.append(pose_h)
         self.state = TrackingState.OK
 
         self.frames_since_kf += 1
@@ -275,7 +276,7 @@ class System:
             template_updated = self._insert_keyframe(feats, matches, res)
             self.frames_since_kf = 0
         self._record(timestamp, n_matches, n_inliers, is_kf, template_updated)
-        return FrameResult(np.asarray(self.pose), self.state, n_matches,
+        return FrameResult(pose_h, self.state, n_matches,
                            n_inliers, is_kf, template_updated)
 
     # ------------------------------------------------------------- mapping
@@ -342,7 +343,11 @@ class System:
             return False
 
         # ---- batched warp fitting (new KF -> each covisible KF)
-        np_pairs = len(pairs)
+        # FIXED pair-axis size: the warp-fit graph (vmapped LM over 390
+        # params) is the most expensive compile in the system — one static
+        # shape means it compiles exactly once per process
+        np_pairs = self.cfg.capacity.max_warp_pairs
+        pairs = pairs[:np_pairs]
         uv1 = np.zeros((np_pairs, mapper.PAIR_CAP, 2), np.float32)
         uv2 = np.zeros_like(uv1)
         msk = np.zeros((np_pairs, mapper.PAIR_CAP), bool)
@@ -352,9 +357,11 @@ class System:
             uv1[pi, :m] = retina_new[kp_new[:m]]
             uv2[pi, :m] = np.asarray(self.kfs.retina[i])[kp_i[:m]]
             msk[pi, :m] = True
+        pair_valid = np.zeros(np_pairs, bool)
+        pair_valid[: len(pairs)] = True
         batch = mapper.WarpBatch(
             uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2), mask=jnp.asarray(msk),
-            pair_valid=jnp.ones(np_pairs, bool),
+            pair_valid=jnp.asarray(pair_valid),
         )
         dps = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
 

@@ -117,6 +117,52 @@ def sft_track(
     return sft.solve(data, topo, cfg, reg_temp=reg_temp)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "window_scale"))
+def track_frame(
+    img: jnp.ndarray,
+    points: PointStore,
+    pose: jnp.ndarray,
+    nodes: jnp.ndarray,
+    nodes_anchor: jnp.ndarray,
+    rest_len: jnp.ndarray,
+    lap_rest: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: Config,
+    window_scale: float = 1.0,
+):
+    """The fused per-frame hot path: extract + project-match + SfT + point
+    reposing in ONE compiled computation.
+
+    One dispatch and one small host readback per frame — essential because
+    per-op dispatch latency (especially over a TPU tunnel) would otherwise
+    dominate the frame budget.  Returns
+    (feats, matches, sft_result, new_points, stats[n_matches, n_inliers]).
+    """
+    from defslam_tpu.frontend import extract_features
+
+    feats = extract_features(img, cfg)
+    matches = match_points_to_frame(
+        points, pose, K, feats, cfg,
+        window=window_scale * cfg.tracking.projection_window,
+    )
+    res = sft_track(
+        points, matches, feats, nodes, nodes_anchor, rest_len, lap_rest,
+        pose, K, cfg,
+    )
+    new_points = _reposition(points, res.nodes, cfg)
+    stats = jnp.stack(
+        [matches.n_matches, jnp.sum(res.inlier).astype(jnp.int32)]
+    )
+    return feats, matches, res, new_points, stats
+
+
+def _reposition(points: PointStore, nodes: jnp.ndarray, cfg: Config) -> PointStore:
+    topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+    new_xyz = meshmod.facet_positions(nodes, topo, points.facet, points.bary)
+    keep = points.valid & (points.facet >= 0)
+    return points._replace(xyz=jnp.where(keep[:, None], new_xyz, points.xyz))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def reposition_points(
     points: PointStore, nodes: jnp.ndarray, cfg: Config
