@@ -316,21 +316,20 @@ class System:
     def _covisible(self, slot: int) -> list[tuple[int, np.ndarray, np.ndarray]]:
         """Keyframes sharing >= min_shared_points with `slot`, with the
         matched keypoint indices (SchwarpDatabase::add anchor selection)."""
+        from defslam_tpu import native
+
         c = self.cfg
-        pid_new = np.asarray(self.kfs.point_id[slot])
+        point_id = np.asarray(self.kfs.point_id)
+        pid_new = point_id[slot]
         valid = np.asarray(self.kfs.valid)
         out = []
         for i in np.nonzero(valid)[0]:
             if i == slot:
                 continue
-            pid_i = np.asarray(self.kfs.point_id[i])
-            # map point -> kp index in each KF
-            common, ia, ib = np.intersect1d(
-                pid_new[pid_new >= 0], pid_i[pid_i >= 0], return_indices=True
+            kp_new, kp_i, common = native.covis_shared(
+                pid_new, point_id[i], mapper.PAIR_CAP
             )
             if len(common) >= c.mapping.min_shared_points:
-                kp_new = np.nonzero(pid_new >= 0)[0][ia]
-                kp_i = np.nonzero(pid_i >= 0)[0][ib]
                 out.append((int(i), kp_new, kp_i, common))
         out.sort(key=lambda t: -len(t[3]))
         return out[: c.capacity.max_warp_pairs]
@@ -365,41 +364,29 @@ class System:
         )
         dps = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
 
-        # ---- per-point observation accumulation (host scatter)
-        p_cap = c.capacity.max_map_points
-        obs_uv1 = np.zeros((p_cap, mapper.OBS_CAP, 2), np.float32)
-        obs_uv2 = np.zeros_like(obs_uv1)
-        obs_J = np.tile(np.eye(2, dtype=np.float32), (p_cap, mapper.OBS_CAP, 1, 1))
-        obs_Huu = np.zeros((p_cap, mapper.OBS_CAP, 2), np.float32)
-        obs_Hvv = np.zeros_like(obs_Huu)
-        obs_msk = np.zeros((p_cap, mapper.OBS_CAP), bool)
-        counts = np.zeros(p_cap, np.int32)
-        dmask = np.asarray(dps.mask)
-        dwarp = np.asarray(dps.warped)
-        dJ = np.asarray(dps.J12)
-        dHuu = np.asarray(dps.Huu)
-        dHvv = np.asarray(dps.Hvv)
-        for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
-            m = min(len(kp_new), mapper.PAIR_CAP)
-            for j in range(m):
-                if not dmask[pi, j]:
-                    continue
-                pid = int(common[j])
-                o = counts[pid]
-                if o >= mapper.OBS_CAP:
-                    continue
-                obs_uv1[pid, o] = uv1[pi, j]
-                obs_uv2[pid, o] = dwarp[pi, j]
-                obs_J[pid, o] = dJ[pi, j]
-                obs_Huu[pid, o] = dHuu[pi, j]
-                obs_Hvv[pid, o] = dHvv[pi, j]
-                obs_msk[pid, o] = True
-                counts[pid] += 1
+        # ---- per-point observation accumulation (native scatter)
+        from defslam_tpu import native
 
+        p_cap = c.capacity.max_map_points
+        pid_table = np.full((np_pairs, mapper.PAIR_CAP), -1, np.int32)
+        for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
+            m = min(len(common), mapper.PAIR_CAP)
+            pid_table[pi, :m] = common[:m]
+        tables, counts = native.accumulate_obs(
+            pid_table,
+            np.asarray(dps.mask),
+            uv1,
+            np.asarray(dps.warped),
+            np.asarray(dps.J12),
+            np.asarray(dps.Huu),
+            np.asarray(dps.Hvv),
+            p_cap,
+            mapper.OBS_CAP,
+        )
         obs = nrm.PairObs(
-            uv1=jnp.asarray(obs_uv1), uv2=jnp.asarray(obs_uv2),
-            J12=jnp.asarray(obs_J), Huu=jnp.asarray(obs_Huu),
-            Hvv=jnp.asarray(obs_Hvv), mask=jnp.asarray(obs_msk),
+            uv1=jnp.asarray(tables["uv1"]), uv2=jnp.asarray(tables["uv2"]),
+            J12=jnp.asarray(tables["J12"]), Huu=jnp.asarray(tables["Huu"]),
+            Hvv=jnp.asarray(tables["Hvv"]), mask=jnp.asarray(tables["mask"]),
         )
         nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
 
@@ -551,7 +538,72 @@ class System:
             surf_ctrl=self.kfs.surf_ctrl.at[slot].set(res_sfn.ctrl),
             surf_valid=self.kfs.surf_valid.at[slot].set(True),
         )
+        self._cull_points()
         return True
+
+    # -------------------------------------------------------- persistence
+
+    def save_state(self, path: str):
+        """Checkpoint the full SLAM state (map, keyframes, template, pose).
+
+        The reference has no save/load at all (SURVEY 5.4); the SoA design
+        makes it one npz file.
+        """
+        arrays = {}
+        for name, store_obj in (("kf", self.kfs), ("pt", self.points)):
+            for field_name, arr in zip(store_obj._fields, store_obj):
+                arrays[f"{name}_{field_name}"] = np.asarray(arr)
+        if self.template is not None:
+            for field_name, arr in zip(self.template._fields, self.template):
+                arrays[f"tmpl_{field_name}"] = np.asarray(arr)
+        arrays["pose"] = np.asarray(self.pose)
+        arrays["nodes_anchor"] = np.asarray(
+            self.nodes_anchor if self.nodes_anchor is not None else np.zeros((0, 3))
+        )
+        arrays["meta"] = np.asarray(
+            [self.frame_id, self.frames_since_kf, self.template_ref_kf,
+             self.state.value]
+        )
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path: str):
+        """Restore a checkpoint written by save_state."""
+        data = np.load(path)
+        self.kfs = store.KeyframeStore(
+            *[jnp.asarray(data[f"kf_{f}"]) for f in store.KeyframeStore._fields]
+        )
+        self.points = store.PointStore(
+            *[jnp.asarray(data[f"pt_{f}"]) for f in store.PointStore._fields]
+        )
+        if "tmpl_nodes" in data:
+            self.template = meshmod.Template(
+                *[jnp.asarray(data[f"tmpl_{f}"]) for f in meshmod.Template._fields]
+            )
+        self.pose = jnp.asarray(data["pose"])
+        na = data["nodes_anchor"]
+        self.nodes_anchor = jnp.asarray(na) if na.size else None
+        meta = data["meta"]
+        self.frame_id = int(meta[0])
+        self.frames_since_kf = int(meta[1])
+        self.template_ref_kf = int(meta[2])
+        self.state = TrackingState(int(meta[3]))
+
+    # --------------------------------------------------------------- culling
+
+    def _cull_points(self):
+        """MapPointCulling parity (LocalMapping.cc:173-199): drop points that
+        stopped being observed — here, unembedded points that no keyframe
+        references anymore."""
+        pid = np.asarray(self.kfs.point_id)
+        kf_valid = np.asarray(self.kfs.valid)
+        referenced = np.zeros(self.points.capacity, bool)
+        for i in np.nonzero(kf_valid)[0]:
+            ids = pid[i]
+            referenced[ids[ids >= 0]] = True
+        keep = np.asarray(self.points.valid) & (
+            referenced | (np.asarray(self.points.facet) >= 0)
+        )
+        self.points = self.points._replace(valid=jnp.asarray(keep))
 
     # ------------------------------------------------------------- metrics
 
