@@ -64,7 +64,10 @@ class WarpBatch(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def fit_warps(batch: WarpBatch, dom: jnp.ndarray, bending: jnp.ndarray, cfg: Config):
-    """Fit + refine all pair warps and extract DiffProps, vmapped."""
+    """Fit + refine all pair warps and extract DiffProps, vmapped.
+
+    Returns (DiffProps, ctrl (NP, nu, nv, 2)) — the control grids feed the
+    warp-guided match densification (searchBySchwarp)."""
     mc = cfg.mapping
     nu, nv = mc.warp_ctrl_u, mc.warp_ctrl_v
     fx, fy = cfg.camera.fx, cfg.camera.fy
@@ -78,11 +81,48 @@ def fit_warps(batch: WarpBatch, dom: jnp.ndarray, bending: jnp.ndarray, cfg: Con
             ctrl, uv1, uv2, w, dom, mc.schwarp_regularizer, fx, fy,
             num_iters=mc.schwarp_lm_iterations,
         )
-        return warp.diff_props(ctrl, uv1, uv2, mask, dom, fx, fy, mc.warp_error_px)
+        dp = warp.diff_props(ctrl, uv1, uv2, mask, dom, fx, fy, mc.warp_error_px)
+        return dp, ctrl
 
-    dps = jax.vmap(one)(batch.uv1, batch.uv2, batch.mask)
+    dps, ctrls = jax.vmap(one)(batch.uv1, batch.uv2, batch.mask)
     # invalid pairs contribute nothing
-    return dps._replace(mask=dps.mask & batch.pair_valid[:, None])
+    return dps._replace(mask=dps.mask & batch.pair_valid[:, None]), ctrls
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def densify_matches(
+    ctrls: jnp.ndarray,  # (NP, nu, nv, 2) fitted warps KF1 -> KF2
+    retina1: jnp.ndarray,  # (K, 2) keypoints of KF1 (the new keyframe)
+    valid1: jnp.ndarray,  # (K,) bool
+    desc1: jnp.ndarray,  # (K, 8) uint32
+    retina2: jnp.ndarray,  # (NP, K, 2) keypoints of each covisible KF
+    valid2: jnp.ndarray,  # (NP, K) bool
+    desc2: jnp.ndarray,  # (NP, K, 8)
+    dom: jnp.ndarray,
+    pair_valid: jnp.ndarray,  # (NP,)
+    cfg: Config,
+):
+    """Warp-guided descriptor matching (DefORBmatcher::searchBySchwarp,
+    DefORBmatcher.cc:190-292): warp every KF1 keypoint into each covisible
+    keyframe and match descriptors within a pixel window around the
+    prediction.  Returns (best (NP, K) int32 kp2-index or -1, dist (NP, K)).
+    """
+    from defslam_tpu.ops import matching
+
+    th = cfg.tracking.match_th_low
+    radius_px = 2.0 * cfg.tracking.projection_window
+    rad_ret = radius_px / cfg.camera.fx
+
+    def one(ctrl, ret2, v2, d2, pv):
+        pred = bspline.evaluate(ctrl, retina1[:, 0], retina1[:, 1], dom)  # (K, 2)
+        window = matching.window_mask(pred, ret2, rad_ret)
+        dist = matching.masked_hamming(
+            desc1, d2, valid1 & pv, v2, pair_mask=window
+        )
+        m = matching.best_match(dist, max_dist=th, nn_ratio=0.85, mutual=True)
+        return m.idx, m.dist
+
+    return jax.vmap(one)(ctrls, retina2, valid2, desc2, pair_valid)
 
 
 @jax.jit

@@ -362,7 +362,8 @@ class System:
             uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2), mask=jnp.asarray(msk),
             pair_valid=jnp.asarray(pair_valid),
         )
-        dps = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
+        dps, ctrls = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
+        self._densify(slot, pairs, ctrls, np_pairs)
 
         # ---- per-point observation accumulation (native scatter)
         from defslam_tpu import native
@@ -411,6 +412,59 @@ class System:
         if unmatched < c.mapping.points_to_template or n_normals < c.mapping.min_normals:
             return False
         return self._retemplate(slot)
+
+    def _densify(self, slot: int, pairs, ctrls, np_pairs: int):
+        """Warp-guided match densification (DefORBmatcher::findbyWarp /
+        searchBySchwarp): propagate map-point observations through the
+        fitted warps into whichever side lacks them."""
+        c = self.cfg
+        kf_idx = np.zeros(np_pairs, np.int32)
+        for pi, (i, *_rest) in enumerate(pairs):
+            kf_idx[pi] = i
+        pair_valid = np.zeros(np_pairs, bool)
+        pair_valid[: len(pairs)] = True
+        idx = jnp.asarray(kf_idx)
+        best, dist = mapper.densify_matches(
+            ctrls,
+            self.kfs.retina[slot],
+            self.kfs.kp_valid[slot],
+            self.kfs.desc[slot],
+            self.kfs.retina[idx],
+            self.kfs.kp_valid[idx],
+            self.kfs.desc[idx],
+            self.dom,
+            jnp.asarray(pair_valid),
+            c,
+        )
+        best = np.asarray(best)
+        point_id = np.asarray(self.kfs.point_id)
+        pid_new = point_id[slot].copy()
+        nobs_add = np.zeros(self.points.capacity, np.int32)
+        updates_other: list[tuple[int, int, int]] = []  # (kf, kp, pid)
+        for pi, (i, *_rest) in enumerate(pairs):
+            pid_i = point_id[i]
+            for k in np.nonzero(best[pi] >= 0)[0]:
+                j = best[pi, k]
+                p1, p2 = pid_new[k], pid_i[j]
+                if p1 >= 0 and p2 < 0:
+                    updates_other.append((i, int(j), int(p1)))
+                    nobs_add[p1] += 1
+                elif p1 < 0 and p2 >= 0:
+                    pid_new[k] = p2
+                    nobs_add[p2] += 1
+        kfs = self.kfs._replace(
+            point_id=self.kfs.point_id.at[slot].set(jnp.asarray(pid_new))
+        )
+        if updates_other:
+            kf_a = jnp.asarray([u[0] for u in updates_other])
+            kp_a = jnp.asarray([u[1] for u in updates_other])
+            pd_a = jnp.asarray([u[2] for u in updates_other], jnp.int32)
+            kfs = kfs._replace(point_id=kfs.point_id.at[kf_a, kp_a].set(pd_a))
+        self.kfs = kfs
+        if nobs_add.any():
+            self.points = self.points._replace(
+                n_obs=self.points.n_obs + jnp.asarray(nobs_add)
+            )
 
     def _retemplate(self, slot: int) -> bool:
         """NRSfM surface for the KF + Sim3 registration + template swap
