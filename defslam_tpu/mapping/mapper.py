@@ -147,6 +147,23 @@ def integrate_surface(
     )
 
 
+@jax.jit
+def registration_pairs(
+    surf_xyz: jnp.ndarray,  # (K, 3) SfN surface at the KF keypoints
+    pid_row: jnp.ndarray,  # (K,) kp->point
+    points_xyz: jnp.ndarray,  # (P, 3)
+    points_valid: jnp.ndarray,  # (P,)
+    kf_pose: jnp.ndarray,  # (4, 4)
+):
+    """Gather (surface, current-map) 3D pairs in the KF camera frame for
+    Sim(3) registration (SurfaceRegistration.cc:48-105's bookkeeping)."""
+    p_cap = points_xyz.shape[0]
+    pid = jnp.clip(pid_row, 0, p_cap - 1)
+    mask = (pid_row >= 0) & points_valid[pid]
+    map_cam = se3.transform(kf_pose, points_xyz)[pid]
+    return surf_xyz, jnp.where(mask[:, None], map_cam, 0.0), mask
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def register_surface(
     surf_xyz: jnp.ndarray,
@@ -161,12 +178,171 @@ def register_surface(
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def apply_densify(
+    point_id: jnp.ndarray,  # (F, K) the full kp->point tables
+    n_obs: jnp.ndarray,  # (P,)
+    slot: jnp.ndarray,  # () int32 — the new keyframe
+    kf_idx: jnp.ndarray,  # (NP,) covisible keyframe per pair
+    best: jnp.ndarray,  # (NP, K) best kp2 index per new-KF kp, -1 none
+):
+    """Merge densified matches into the observation tables, one fused update
+    (the reference mutates MapPoint/KeyFrame objects one at a time,
+    DefORBmatcher.cc:270-292).
+
+    Rules per (pair pi, kp k) with match j = best[pi, k]:
+      new-KF kp has a point, other hasn't -> other gains the observation
+      other has a point, new-KF kp hasn't -> new KF gains the observation
+    """
+    n_pairs, k_cap = best.shape
+    p_cap = n_obs.shape[0]
+    pid_new = point_id[slot]  # (K,)
+
+    j = jnp.clip(best, 0, k_cap - 1)
+    matched = best >= 0
+    pid_other = jnp.take_along_axis(point_id[kf_idx], j, axis=1)  # (NP, K)
+
+    give_other = matched & (pid_new[None, :] >= 0) & (pid_other < 0)
+    give_new = matched & (pid_new[None, :] < 0) & (pid_other >= 0)
+
+    # other keyframes gain observations of the new KF's points
+    flat_rows = jnp.repeat(kf_idx, k_cap)
+    flat_cols = jnp.where(give_other, j, k_cap).reshape(-1)  # k_cap = dropped
+    flat_vals = jnp.broadcast_to(pid_new[None, :], best.shape).reshape(-1)
+    point_id = point_id.at[flat_rows, flat_cols].set(
+        flat_vals, mode="drop"
+    )
+    # the new KF gains observations of other keyframes' points (first pair
+    # providing one wins; later scatters overwrite harmlessly)
+    new_cols = jnp.where(give_new, jnp.arange(k_cap)[None, :], k_cap).reshape(-1)
+    point_id = point_id.at[jnp.broadcast_to(slot, new_cols.shape), new_cols].set(
+        pid_other.reshape(-1), mode="drop"
+    )
+    delta = jnp.zeros(p_cap, jnp.int32)
+    delta = delta.at[jnp.where(give_other, flat_vals.reshape(best.shape), p_cap).reshape(-1)].add(
+        1, mode="drop"
+    )
+    delta = delta.at[jnp.where(give_new, pid_other, p_cap).reshape(-1)].add(
+        1, mode="drop"
+    )
+    return point_id, n_obs + delta
+
+
+@jax.jit
+def write_normals(
+    norm_k: jnp.ndarray,  # (F, K, 2)
+    norm_valid: jnp.ndarray,  # (F, K)
+    slot: jnp.ndarray,  # ()
+    pid_row: jnp.ndarray,  # (K,) kp->point of the new KF
+    k_solved: jnp.ndarray,  # (P, 2)
+    solved_ok: jnp.ndarray,  # (P,) bool
+):
+    """Write solved per-point normals into the keyframe's per-keypoint slots
+    (Surface::setNormalSurfacePoint equivalent), one fused scatter."""
+    p_cap = k_solved.shape[0]
+    pid = jnp.clip(pid_row, 0, p_cap - 1)
+    has = (pid_row >= 0) & solved_ok[pid]
+    vals = k_solved[pid]
+    norm_k = norm_k.at[slot].set(
+        jnp.where(has[:, None], vals, norm_k[slot])
+    )
+    norm_valid = norm_valid.at[slot].set(norm_valid[slot] | has)
+    return norm_k, norm_valid, jnp.sum(has)
+
+
 class TemplateRegen(NamedTuple):
     template: meshmod.Template
     point_xyz: jnp.ndarray  # (K, 3) world positions of ref-KF keypoints
     point_facet: jnp.ndarray  # (K,) facet of each ref-KF keypoint
     point_bary: jnp.ndarray  # (K, 3)
     point_inside: jnp.ndarray  # (K,) bool — keypoint inside mesh domain
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def rebuild_points(
+    points,  # PointStore (donated)
+    regen: "TemplateRegen",
+    kf_pose: jnp.ndarray,  # (4, 4)
+    K: jnp.ndarray,
+    pid_row: jnp.ndarray,  # (K,) kp->point of the reference keyframe
+    kp_valid: jnp.ndarray,  # (K,)
+    kp_desc: jnp.ndarray,  # (K, 8)
+    slot: jnp.ndarray,  # () int32
+    dom: jnp.ndarray,
+    cfg: Config,
+):
+    """CreateNewMapPoints (DefLocalMapping.cc:240-347) as ONE fused update:
+
+    1. points observed by the reference KF move onto the new surface;
+    2. every point is re-embedded into the new template via its projection
+       into the reference keyframe's retina;
+    3. unmatched keypoints inside the mesh become new map points, allocated
+       into free store slots by a cumsum ranking (no host loop).
+
+    Returns (new PointStore, updated pid_row).
+    """
+    from defslam_tpu.geometry import camera as cammod
+
+    topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+    p_cap = points.capacity
+    k_cap = pid_row.shape[0]
+
+    # --- 1. reposition observed points onto the registered surface
+    cond = (pid_row >= 0) & regen.point_inside & kp_valid
+    tgt = jnp.where(cond, jnp.clip(pid_row, 0, p_cap - 1), p_cap)
+    xyz = points.xyz.at[tgt].set(regen.point_xyz, mode="drop")
+
+    # --- 2. re-embed all points through the ref-KF projection
+    pc = se3.transform(kf_pose, xyz)
+    retina_p = jnp.stack(
+        [pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6), pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6)],
+        axis=-1,
+    )
+    facet_all, bary_all, inside_all = meshmod.embed_uv(retina_p, dom, topo)
+    embeddable = inside_all & (pc[:, 2] > 1e-6) & points.valid
+    facet = jnp.where(embeddable, facet_all, -1)
+    bary = jnp.where(embeddable[:, None], bary_all, 0.0)
+
+    # --- 3. allocate new points for unmatched keypoints inside the mesh
+    new_mask = kp_valid & (pid_row < 0) & regen.point_inside
+    rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # (K,)
+    free_order = jnp.argsort(points.valid.astype(jnp.int32), stable=True)
+    n_free = jnp.sum(~points.valid)
+    can = new_mask & (rank < n_free)
+    dest = jnp.where(can, free_order[jnp.clip(rank, 0, p_cap - 1)], p_cap)
+
+    xyz = xyz.at[dest].set(regen.point_xyz, mode="drop")
+    desc = points.desc.at[dest].set(kp_desc, mode="drop")
+    facet = facet.at[dest].set(regen.point_facet, mode="drop")
+    bary = bary.at[dest].set(regen.point_bary, mode="drop")
+    ref_kf = points.ref_kf.at[dest].set(slot.astype(jnp.int32), mode="drop")
+    ref_kp = points.ref_kp.at[dest].set(
+        jnp.arange(k_cap, dtype=jnp.int32), mode="drop"
+    )
+    valid = points.valid.at[dest].set(True, mode="drop")
+    n_obs = points.n_obs.at[dest].set(1, mode="drop")
+
+    pid_row_new = jnp.where(can, dest.astype(jnp.int32), pid_row)
+    new_points = points._replace(
+        xyz=xyz, desc=desc, facet=facet, bary=bary, ref_kf=ref_kf,
+        ref_kp=ref_kp, valid=valid, n_obs=n_obs,
+    )
+    return new_points, pid_row_new
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def cull_points(points, point_id: jnp.ndarray, kf_valid: jnp.ndarray):
+    """MapPointCulling parity (LocalMapping.cc:173-199): keep points that are
+    embedded in the template or still referenced by a valid keyframe."""
+    p_cap = points.capacity
+    ids = jnp.where(
+        kf_valid[:, None] & (point_id >= 0), point_id, p_cap
+    ).reshape(-1)
+    referenced = (
+        jnp.zeros(p_cap, bool).at[ids].set(True, mode="drop")
+    )
+    keep = points.valid & (referenced | (points.facet >= 0))
+    return points._replace(valid=keep)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -104,17 +104,24 @@ def empty_points(cfg: Config) -> PointStore:
     )
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def add_keyframe(
     kfs: KeyframeStore,
-    slot: int,
+    slot,
     pose: jnp.ndarray,
     feats: Features,
     retina: jnp.ndarray,
     point_id: jnp.ndarray,
-    frame_id: int,
+    frame_id,
 ) -> KeyframeStore:
     """Functionally insert a keyframe at `slot` (host picks the slot —
-    lowest invalid index, or recycles the oldest)."""
+    lowest invalid index, or recycles the oldest).  One fused device update
+    (the dozen .at[].set's would otherwise each be a dispatch)."""
     return kfs._replace(
         pose=kfs.pose.at[slot].set(pose),
         xy=kfs.xy.at[slot].set(feats.xy),

@@ -373,42 +373,40 @@ class System:
         for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
             m = min(len(common), mapper.PAIR_CAP)
             pid_table[pi, :m] = common[:m]
+        dps_h = jax.device_get(dps)  # one transfer for all diffprop arrays
         tables, counts = native.accumulate_obs(
             pid_table,
-            np.asarray(dps.mask),
+            dps_h.mask,
             uv1,
-            np.asarray(dps.warped),
-            np.asarray(dps.J12),
-            np.asarray(dps.Huu),
-            np.asarray(dps.Hvv),
+            dps_h.warped,
+            dps_h.J12,
+            dps_h.Huu,
+            dps_h.Hvv,
             p_cap,
             mapper.OBS_CAP,
         )
+        # observation tables go straight into the jitted solver (numpy args
+        # upload inside one dispatch — no eager conversions)
         obs = nrm.PairObs(
-            uv1=jnp.asarray(tables["uv1"]), uv2=jnp.asarray(tables["uv2"]),
-            J12=jnp.asarray(tables["J12"]), Huu=jnp.asarray(tables["Huu"]),
-            Hvv=jnp.asarray(tables["Hvv"]), mask=jnp.asarray(tables["mask"]),
+            uv1=tables["uv1"], uv2=tables["uv2"], J12=tables["J12"],
+            Huu=tables["Huu"], Hvv=tables["Hvv"], mask=tables["mask"],
         )
         nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
 
         # write normals into the new keyframe at the matched keypoints
-        pid_new = np.asarray(self.kfs.point_id[slot])
-        kp_idx = np.nonzero(pid_new >= 0)[0]
-        pids = pid_new[kp_idx]
-        have = np.asarray(nres.valid)[pids] & (np.asarray(nres.n_obs)[pids] > 0)
-        kp_sel = kp_idx[have]
-        k_sel = np.asarray(nres.k)[pids[have]]
-        self.kfs = self.kfs._replace(
-            norm_k=self.kfs.norm_k.at[slot, jnp.asarray(kp_sel)].set(
-                jnp.asarray(k_sel)
-            ),
-            norm_valid=self.kfs.norm_valid.at[slot, jnp.asarray(kp_sel)].set(True),
+        slot_j = jnp.asarray(slot, jnp.int32)
+        pid_row = self.kfs.point_id[slot]
+        norm_k, norm_valid, n_normals_dev = mapper.write_normals(
+            self.kfs.norm_k, self.kfs.norm_valid, slot_j, pid_row,
+            nres.k, nres.valid & (nres.n_obs > 0),
         )
+        self.kfs = self.kfs._replace(norm_k=norm_k, norm_valid=norm_valid)
 
         # ---- template decision (needNewTemplate, DefLocalMapping.cc:355-404)
-        feats_valid = np.asarray(self.kfs.kp_valid[slot])
-        unmatched = int(np.sum(feats_valid & (pid_new < 0)))
-        n_normals = int(len(kp_sel))
+        unmatched_dev = jnp.sum(self.kfs.kp_valid[slot] & (pid_row < 0))
+        unmatched, n_normals = (
+            int(x) for x in jax.device_get((unmatched_dev, n_normals_dev))
+        )
         if unmatched < c.mapping.points_to_template or n_normals < c.mapping.min_normals:
             return False
         return self._retemplate(slot)
@@ -436,35 +434,14 @@ class System:
             jnp.asarray(pair_valid),
             c,
         )
-        best = np.asarray(best)
-        point_id = np.asarray(self.kfs.point_id)
-        pid_new = point_id[slot].copy()
-        nobs_add = np.zeros(self.points.capacity, np.int32)
-        updates_other: list[tuple[int, int, int]] = []  # (kf, kp, pid)
-        for pi, (i, *_rest) in enumerate(pairs):
-            pid_i = point_id[i]
-            for k in np.nonzero(best[pi] >= 0)[0]:
-                j = best[pi, k]
-                p1, p2 = pid_new[k], pid_i[j]
-                if p1 >= 0 and p2 < 0:
-                    updates_other.append((i, int(j), int(p1)))
-                    nobs_add[p1] += 1
-                elif p1 < 0 and p2 >= 0:
-                    pid_new[k] = p2
-                    nobs_add[p2] += 1
-        kfs = self.kfs._replace(
-            point_id=self.kfs.point_id.at[slot].set(jnp.asarray(pid_new))
+        # mask matches from padded/invalid pairs before the fused merge
+        best = jnp.where(jnp.asarray(pair_valid)[:, None], best, -1)
+        new_point_id, new_n_obs = mapper.apply_densify(
+            self.kfs.point_id, self.points.n_obs,
+            jnp.asarray(slot, jnp.int32), idx, best,
         )
-        if updates_other:
-            kf_a = jnp.asarray([u[0] for u in updates_other])
-            kp_a = jnp.asarray([u[1] for u in updates_other])
-            pd_a = jnp.asarray([u[2] for u in updates_other], jnp.int32)
-            kfs = kfs._replace(point_id=kfs.point_id.at[kf_a, kp_a].set(pd_a))
-        self.kfs = kfs
-        if nobs_add.any():
-            self.points = self.points._replace(
-                n_obs=self.points.n_obs + jnp.asarray(nobs_add)
-            )
+        self.kfs = self.kfs._replace(point_id=new_point_id)
+        self.points = self.points._replace(n_obs=new_n_obs)
 
     def _retemplate(self, slot: int) -> bool:
         """NRSfM surface for the KF + Sim3 registration + template swap
@@ -479,26 +456,12 @@ class System:
             return False
 
         # registration pairs: matched keypoints' current map positions
-        pid = np.asarray(self.kfs.point_id[slot])
-        kp_idx = np.nonzero(pid >= 0)[0]
         pose = self.kfs.pose[slot]
-        map_cam = se3.transform(pose, self.points.xyz)  # (P, 3)
-        k_cap = self.kfs.xy.shape[1]
-        surf_xyz = np.zeros((k_cap, 3), np.float32)
-        map_xyz = np.zeros((k_cap, 3), np.float32)
-        mask = np.zeros(k_cap, bool)
-        surf_np = np.asarray(res_sfn.xyz)
-        map_np = np.asarray(map_cam)
-        pvalid = np.asarray(self.points.valid)
-        for kp in kp_idx:
-            p = pid[kp]
-            if pvalid[p]:
-                surf_xyz[kp] = surf_np[kp]
-                map_xyz[kp] = map_np[p]
-                mask[kp] = True
-        reg = mapper.register_surface(
-            jnp.asarray(surf_xyz), jnp.asarray(map_xyz), jnp.asarray(mask), c
+        pid_row = self.kfs.point_id[slot]
+        surf_xyz, map_xyz, mask = mapper.registration_pairs(
+            res_sfn.xyz, pid_row, self.points.xyz, self.points.valid, pose
         )
+        reg = mapper.register_surface(surf_xyz, map_xyz, mask, c)
         if not bool(reg.accepted):
             return False
 
@@ -509,90 +472,21 @@ class System:
         self.template_ref_kf = slot
         self.nodes_anchor = regen.template.nodes
 
-        # ---- CreateNewMapPoints (DefLocalMapping.cc:240-347):
-        # reposition points seen by this KF onto the surface; re-embed all
-        # points via their projection into the ref KF; create points for
-        # unmatched keypoints.
-        pts_xyz = np.asarray(self.points.xyz).copy()
-        pts_valid = np.asarray(self.points.valid).copy()
-        pts_facet = np.asarray(self.points.facet).copy()
-        pts_bary = np.asarray(self.points.bary).copy()
-        pts_desc = np.asarray(self.points.desc).copy()
-        pts_ref_kf = np.asarray(self.points.ref_kf).copy()
-        pts_ref_kp = np.asarray(self.points.ref_kp).copy()
-        pts_nobs = np.asarray(self.points.n_obs).copy()
-
-        new_xyz = np.asarray(regen.point_xyz)
-        inside = np.asarray(regen.point_inside)
-        for kp in kp_idx:
-            p = pid[kp]
-            if pts_valid[p] and inside[kp]:
-                pts_xyz[p] = new_xyz[kp]
-
-        # re-embed every valid point through the ref-KF retina projection
-        proj = np.asarray(
-            cam.to_retina(
-                self.K,
-                cam.project(self.K, se3.transform(pose, jnp.asarray(pts_xyz))),
-            )
+        # CreateNewMapPoints as one fused device update
+        new_points, pid_row_new = mapper.rebuild_points(
+            self.points, regen, pose, self.K, pid_row,
+            self.kfs.kp_valid[slot], self.kfs.desc[slot],
+            jnp.asarray(slot, jnp.int32), self.dom, c,
         )
-        # (to_retina(project(...)) == camera-frame (x/z, y/z))
-        facet_all, bary_all, inside_all = meshmod.embed_uv(
-            jnp.asarray(proj), self.dom, self.topo
-        )
-        facet_np = np.asarray(facet_all)
-        bary_np = np.asarray(bary_all)
-        in_np = np.asarray(inside_all)
-        behind = np.asarray(se3.transform(pose, jnp.asarray(pts_xyz)))[:, 2] <= 1e-6
-        for p in range(len(pts_valid)):
-            if not pts_valid[p]:
-                continue
-            if in_np[p] and not behind[p]:
-                pts_facet[p] = facet_np[p]
-                pts_bary[p] = bary_np[p]
-            else:
-                pts_facet[p] = -1
-
-        # new points from unmatched keypoints
-        feats_valid = np.asarray(self.kfs.kp_valid[slot])
-        desc_kf = np.asarray(self.kfs.desc[slot])
-        free = np.nonzero(~pts_valid)[0]
-        new_kps = np.nonzero(feats_valid & (pid < 0) & inside)[0]
-        pid_updates = {}
-        rfacet = np.asarray(regen.point_facet)
-        rbary = np.asarray(regen.point_bary)
-        for kp, p in zip(new_kps, free):
-            pts_valid[p] = True
-            pts_xyz[p] = new_xyz[kp]
-            pts_desc[p] = desc_kf[kp]
-            pts_facet[p] = rfacet[kp]
-            pts_bary[p] = rbary[kp]
-            pts_ref_kf[p] = slot
-            pts_ref_kp[p] = kp
-            pts_nobs[p] = 1
-            pid_updates[int(kp)] = int(p)
-
-        self.points = store.PointStore(
-            xyz=jnp.asarray(pts_xyz),
-            desc=jnp.asarray(pts_desc),
-            facet=jnp.asarray(pts_facet),
-            bary=jnp.asarray(pts_bary),
-            ref_kf=jnp.asarray(pts_ref_kf),
-            ref_kp=jnp.asarray(pts_ref_kp),
-            valid=jnp.asarray(pts_valid),
-            n_obs=jnp.asarray(pts_nobs),
-        )
-        if pid_updates:
-            kps = jnp.asarray(list(pid_updates.keys()))
-            ps = jnp.asarray(list(pid_updates.values()), jnp.int32)
-            self.kfs = self.kfs._replace(
-                point_id=self.kfs.point_id.at[slot, kps].set(ps)
-            )
+        self.points = new_points
         self.kfs = self.kfs._replace(
+            point_id=self.kfs.point_id.at[slot].set(pid_row_new),
             surf_ctrl=self.kfs.surf_ctrl.at[slot].set(res_sfn.ctrl),
             surf_valid=self.kfs.surf_valid.at[slot].set(True),
         )
-        self._cull_points()
+        self.points = mapper.cull_points(
+            self.points, self.kfs.point_id, self.kfs.valid
+        )
         return True
 
     # -------------------------------------------------------- persistence
@@ -641,23 +535,6 @@ class System:
         self.frames_since_kf = int(meta[1])
         self.template_ref_kf = int(meta[2])
         self.state = TrackingState(int(meta[3]))
-
-    # --------------------------------------------------------------- culling
-
-    def _cull_points(self):
-        """MapPointCulling parity (LocalMapping.cc:173-199): drop points that
-        stopped being observed — here, unembedded points that no keyframe
-        references anymore."""
-        pid = np.asarray(self.kfs.point_id)
-        kf_valid = np.asarray(self.kfs.valid)
-        referenced = np.zeros(self.points.capacity, bool)
-        for i in np.nonzero(kf_valid)[0]:
-            ids = pid[i]
-            referenced[ids[ids >= 0]] = True
-        keep = np.asarray(self.points.valid) & (
-            referenced | (np.asarray(self.points.facet) >= 0)
-        )
-        self.points = self.points._replace(valid=jnp.asarray(keep))
 
     # ------------------------------------------------------------- metrics
 
