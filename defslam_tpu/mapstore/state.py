@@ -109,8 +109,7 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def add_keyframe(
+def _add_keyframe_impl(
     kfs: KeyframeStore,
     slot,
     pose: jnp.ndarray,
@@ -120,8 +119,7 @@ def add_keyframe(
     frame_id,
 ) -> KeyframeStore:
     """Functionally insert a keyframe at `slot` (host picks the slot —
-    lowest invalid index, or recycles the oldest).  One fused device update
-    (the dozen .at[].set's would otherwise each be a dispatch)."""
+    lowest invalid index, or recycles the oldest)."""
     return kfs._replace(
         pose=kfs.pose.at[slot].set(pose),
         xy=kfs.xy.at[slot].set(feats.xy),
@@ -136,6 +134,42 @@ def add_keyframe(
         surf_valid=kfs.surf_valid.at[slot].set(False),
         norm_valid=kfs.norm_valid.at[slot].set(jnp.zeros_like(kfs.norm_valid[slot])),
     )
+
+
+# jitted public entry (one fused dispatch for the dozen sub-updates)
+add_keyframe = jax.jit(_add_keyframe_impl, donate_argnums=(0,))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert_keyframe_from_matches(
+    kfs: KeyframeStore,
+    n_obs: jnp.ndarray,  # (P,)
+    slot,  # () int32
+    pose: jnp.ndarray,
+    feats: Features,
+    kp_of_point: jnp.ndarray,  # (P,) frame keypoint matched to each point
+    inlier: jnp.ndarray,  # (P,) bool
+    K: jnp.ndarray,
+    frame_id,
+):
+    """One fused device op: invert point->kp matches into the keyframe's
+    kp->point table, normalize keypoints to retina coords
+    (DefKeyFrame::NormaliseKeypoints), insert the keyframe, and bump the
+    matched points' observation counts."""
+    from defslam_tpu.geometry import camera as cammod
+
+    p_cap = kp_of_point.shape[0]
+    k_cap = feats.capacity
+    good = (kp_of_point >= 0) & inlier
+    tgt = jnp.where(good, jnp.clip(kp_of_point, 0, k_cap - 1), k_cap)
+    pid_of_kp = (
+        jnp.full((k_cap,), -1, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(p_cap, dtype=jnp.int32), mode="drop")
+    )
+    retina = cammod.to_retina(K, feats.xy)
+    kfs = _add_keyframe_impl(kfs, slot, pose, feats, retina, pid_of_kp, frame_id)
+    return kfs, n_obs + good.astype(jnp.int32)
 
 
 def covisibility(kfs: KeyframeStore, slot_a: int, slot_b) -> jnp.ndarray:

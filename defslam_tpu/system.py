@@ -93,6 +93,7 @@ class System:
         self.state = TrackingState.NO_IMAGES_YET
         self.frame_id = -1
         self.frames_since_kf = 0
+        self._lost_count = 0
         self.trajectory: list[np.ndarray] = []
 
     def restart(self):
@@ -126,15 +127,27 @@ class System:
         img = jnp.asarray(img)
         if img.ndim == 3:
             img = jnp.mean(img.astype(jnp.float32), axis=-1)
-        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED,
-                          TrackingState.LOST):
+        reinit = self.state in (
+            TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED,
+        )
+        if self.state == TrackingState.LOST:
+            # keep trying to relocalize against the existing map for a few
+            # frames; only then give up and re-initialize (the reference's
+            # DefSLAM mode resets immediately, DefTracking.cc:194-207)
+            if self.template is None or self._lost_count >= 5:
+                reinit = True
+        if reinit:
             feats = extract_features(img, self.cfg)
             ok = self._initialize(feats, timestamp)
             self.state = TrackingState.OK if ok else TrackingState.NOT_INITIALIZED
             self._record(timestamp, 0, 0, ok, ok)
             return np.asarray(self.pose) if ok else None
         result = self._track(img, timestamp)
-        return result.pose if result.state == TrackingState.OK else None
+        if result.state == TrackingState.OK:
+            self._lost_count = 0
+            return result.pose
+        self._lost_count += 1
+        return None
 
     def track_monocular_gt(
         self, img_left, img_right, timestamp: float = 0.0, baseline: float = 0.1
@@ -247,17 +260,36 @@ class System:
             )
             stats_h, pose_h = jax.device_get((stats, res.T))
             n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
-        if n_matches < c.tracking.min_inliers_ok:
-            self.state = TrackingState.LOST
-            self._record(timestamp, n_matches, 0, False, False)
-            return FrameResult(np.asarray(self.pose), self.state, n_matches, 0,
-                               False, False)
+        if (
+            n_matches < c.tracking.min_inliers_ok
+            or n_inliers < c.tracking.min_inliers_ok
+        ):
+            # relocalization attempt against the stored keyframes before
+            # declaring LOST (the reference's DefSLAM mode goes straight to
+            # reset, DefTracking.cc:194-207; we first try the recovery path
+            # its ORBSLAM mode uses)
+            from defslam_tpu.tracking import pose_opt
 
-        if n_inliers < c.tracking.min_inliers_ok:
-            self.state = TrackingState.LOST
-            self._record(timestamp, n_matches, n_inliers, False, False)
-            return FrameResult(np.asarray(self.pose), self.state, n_matches,
-                               n_inliers, False, False)
+            feats_now = extract_features(feats_or_img, c) if not isinstance(
+                feats_or_img, Features
+            ) else feats_or_img
+            ok_r, T_r, _ = pose_opt.relocalize(
+                feats_now, self.kfs, self.points, self.K, c
+            )
+            if bool(ok_r):
+                self.pose = T_r
+                feats, matches, res, new_points, stats = tracker.track_frame(
+                    feats_or_img, self.points, self.pose,
+                    self.template.nodes, self.nodes_anchor,
+                    self.template.rest_len, self.template.lap_rest, self.K, c,
+                )
+                stats_h, pose_h = jax.device_get((stats, res.T))
+                n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
+            if n_inliers < c.tracking.min_inliers_ok:
+                self.state = TrackingState.LOST
+                self._record(timestamp, n_matches, n_inliers, False, False)
+                return FrameResult(np.asarray(self.pose), self.state,
+                                   n_matches, n_inliers, False, False)
 
         self.pose = res.T
         self.nodes_anchor = res.nodes
@@ -296,21 +328,16 @@ class System:
         (DefLocalMapping::insideTheLoop)."""
         c = self.cfg
         slot = self._free_kf_slot()
-        retina = cam.to_retina(self.K, feats.xy)
-        # invert point->kp matches into the KF's kp->point table
-        kp_of_point = np.asarray(matches.kp_of_point)
-        inlier = np.asarray(res.inlier)
-        pid_of_kp = np.full(feats.capacity, -1, np.int32)
-        sel = np.nonzero((kp_of_point >= 0) & inlier)[0]
-        pid_of_kp[kp_of_point[sel]] = sel
-        self.kfs = store.add_keyframe(
-            self.kfs, slot, self.pose, feats, retina,
-            jnp.asarray(pid_of_kp), self.frame_id,
+        # invert point->kp matches into the KF's kp->point table and bump
+        # observation counts — fixed shapes only (a variable-length index
+        # scatter here recompiled on every keyframe)
+        new_kfs, new_n_obs = store.insert_keyframe_from_matches(
+            self.kfs, self.points.n_obs, jnp.asarray(slot, jnp.int32),
+            self.pose, feats, matches.kp_of_point, res.inlier, self.K,
+            jnp.asarray(self.frame_id, jnp.int32),
         )
-        # observation counts (for culling parity later)
-        self.points = self.points._replace(
-            n_obs=self.points.n_obs.at[jnp.asarray(sel)].add(1)
-        )
+        self.kfs = new_kfs
+        self.points = self.points._replace(n_obs=new_n_obs)
         return self._mapping_step(slot)
 
     def _covisible(self, slot: int) -> list[tuple[int, np.ndarray, np.ndarray]]:
