@@ -68,8 +68,13 @@ def lm_solve(
     lam_max: float = 1e8,
     retract: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     use_jacrev: bool = False,
+    rtol: float = 1e-6,
 ) -> LMResult:
-    """Dense damped LM with fixed iteration count (jit/vmap-safe).
+    """Dense damped LM, up to `num_iters` iterations with early termination
+    when an accepted step improves the cost by less than `rtol` relative
+    (jit/vmap-safe; lax.while_loop).  The reference burns a fixed 50
+    iterations per frame (DefOptimizer.cc:509-513) — converged solves here
+    exit in a fraction of that.
 
     residual_fn: x (N,) -> r (R,).  weight_fn: r -> per-residual IRLS weight
     (R,) (fold masks in here).  retract: manifold update (default x + dx).
@@ -77,8 +82,6 @@ def lm_solve(
     if retract is None:
         retract = lambda x, dx: x + dx  # noqa: E731
     jac = jax.jacrev(residual_fn) if use_jacrev else jax.jacfwd(residual_fn)
-    n = x0.shape[0]
-    eye = jnp.eye(n, dtype=x0.dtype)
 
     def cost_of(r, w):
         return 0.5 * jnp.sum(w * r * r)
@@ -92,8 +95,12 @@ def lm_solve(
     w0 = weights(r0)
     c0 = cost_of(r0, w0)
 
-    def body(_, carry):
-        x, lam, cost = carry
+    def cond(carry):
+        x, lam, cost, i, done = carry
+        return (i < num_iters) & ~done
+
+    def body(carry):
+        x, lam, cost, i, _ = carry
         r = residual_fn(x)
         w = weights(r)
         J = jac(x)  # (R, N)
@@ -109,15 +116,18 @@ def lm_solve(
         r_new = residual_fn(x_new)
         c_new = cost_of(r_new, weights(r_new))
         accept = (c_new < cost) & jnp.isfinite(c_new)
+        converged = accept & (cost - c_new <= rtol * (cost + 1e-30))
         x = jnp.where(accept, x_new, x)
         cost = jnp.where(accept, c_new, cost)
         lam = jnp.clip(
             jnp.where(accept, lam * lam_down, lam * lam_up), lam_min, lam_max
         )
-        return (x, lam, cost)
+        return (x, lam, cost, i + 1, converged | (lam >= lam_max))
 
-    x, lam, cost = jax.lax.fori_loop(
-        0, num_iters, body, (x0, jnp.asarray(lam0, x0.dtype), c0)
+    x, lam, cost, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, jnp.asarray(lam0, x0.dtype), c0, jnp.asarray(0), jnp.asarray(False)),
     )
     # final normal matrix for covariance consumers
     rF = residual_fn(x)
