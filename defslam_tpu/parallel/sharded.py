@@ -80,7 +80,7 @@ def sharded_warp_fits(
     cfg: Config,
 ):
     """Warp fitting sharded over the pair axis (dp); domain constants are
-    replicated."""
+    replicated.  Returns (DiffProps, ctrl) like mapper.fit_warps."""
     batch_sh = jax.tree.map(lambda a: _shard(mesh, a, P("dp")), batch)
     fn = jax.jit(
         functools.partial(mapper.fit_warps, cfg=cfg),

@@ -55,9 +55,9 @@ def test_sharded_warp_fits_match_single_device():
         mask=jnp.ones((n_pairs, mapper.PAIR_CAP), bool),
         pair_valid=jnp.ones(n_pairs, bool),
     )
-    ref = mapper.fit_warps(batch, dom, B, cfg)
+    ref, _ = mapper.fit_warps(batch, dom, B, cfg)
     mesh = sharded.make_mesh()
-    out = sharded.sharded_warp_fits(mesh, batch, dom, B, cfg)
+    out, _ = sharded.sharded_warp_fits(mesh, batch, dom, B, cfg)
     np.testing.assert_allclose(
         np.asarray(out.warped), np.asarray(ref.warped), atol=1e-4
     )
