@@ -307,6 +307,25 @@ class System:
         if is_kf:
             template_updated = self._insert_keyframe(feats, matches, res)
             self.frames_since_kf = 0
+            if template_updated:
+                # re-anchor camera + new mesh against the current frame with
+                # the temporal term off (DefTracking.cc:115-117:
+                # DefPoseOptimization(..., RegTemp=0) after updateTemplate)
+                matches2 = tracker.match_points_to_frame(
+                    self.points, self.pose, self.K, feats, c
+                )
+                res2 = tracker.sft_track(
+                    self.points, matches2, feats,
+                    self.template.nodes, self.template.nodes,
+                    self.template.rest_len, self.template.lap_rest,
+                    self.pose, self.K, c, reg_temp=0.0,
+                )
+                self.pose = res2.T
+                self.nodes_anchor = res2.nodes
+                self.template = self.template._replace(nodes=res2.nodes)
+                self.points = tracker.reposition_points(
+                    self.points, res2.nodes, c
+                )
         self._record(timestamp, n_matches, n_inliers, is_kf, template_updated)
         return FrameResult(pose_h, self.state, n_matches,
                            n_inliers, is_kf, template_updated)

@@ -1,0 +1,110 @@
+"""Auxiliary subsystems: normal-angle GT, viewer exports, CLI smoke,
+profiling."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from defslam_tpu.groundtruth import normals_gt
+
+
+def test_knn_pca_normals_on_plane():
+    rng = np.random.default_rng(0)
+    cloud = np.stack(
+        [rng.uniform(-1, 1, 300), rng.uniform(-1, 1, 300), np.full(300, 2.0)], 1
+    ).astype(np.float64)
+    cloud[:, 2] += rng.normal(0, 0.002, 300)
+    n = normals_gt.knn_pca_normals(cloud)
+    # plane normal is +-z; oriented toward camera -> -z
+    assert np.abs(n[:, 2]).mean() > 0.99
+    assert (n[:, 2] < 0).mean() > 0.95
+
+
+def test_radius_outlier_mask():
+    rng = np.random.default_rng(1)
+    dense = rng.normal(0, 0.1, (200, 3))
+    stragglers = rng.normal(0, 5.0, (10, 3)) + 20.0
+    cloud = np.vstack([dense, stragglers])
+    keep = normals_gt.radius_outlier_mask(cloud, radius=0.5, min_neighbors=5)
+    assert keep[:200].mean() > 0.95
+    assert keep[200:].sum() == 0
+
+
+def test_angle_errors():
+    a = np.array([[0, 0, 1.0], [1, 0, 0.0]])
+    b = np.array([[0, 0, -1.0], [np.cos(0.1), np.sin(0.1), 0]])
+    ang = normals_gt.angle_errors_deg(a, b)
+    np.testing.assert_allclose(ang[0], 0.0, atol=1e-4)  # sign-agnostic
+    np.testing.assert_allclose(ang[1], np.degrees(0.1), atol=1e-3)
+
+
+def test_viewer_exports(tmp_path):
+    from defslam_tpu.template import mesh as meshmod
+    from defslam_tpu.viewer import export
+
+    topo = meshmod.grid_topology(4, 5)
+    nodes = np.random.default_rng(2).normal(size=(20, 3))
+    p = tmp_path / "m.obj"
+    export.export_mesh_obj(str(p), nodes, topo)
+    txt = p.read_text()
+    assert txt.count("\nv ") + txt.startswith("v ") == 20
+    assert txt.count("f ") == len(topo.faces)
+
+    traj = [np.eye(4) for _ in range(3)]
+    t = tmp_path / "t.txt"
+    export.export_trajectory_tum(str(t), traj)
+    lines = t.read_text().strip().splitlines()
+    assert len(lines) == 3 and len(lines[0].split()) == 8
+
+
+def test_cli_synth_smoke(tmp_path, monkeypatch):
+    # tiny end-to-end run through the CLI entry point on CPU
+    import defslam_tpu.cli as cli
+    from defslam_tpu.config import (
+        CapacityConfig, Config, OrbConfig, SfTConfig, TrackingConfig,
+    )
+    from defslam_tpu.io import synthetic
+
+    real_make = synthetic.make_sequence
+
+    def small_make(**kw):
+        return real_make(n_frames=6, height=100, width=120, max_amp=0.04)
+
+    monkeypatch.setattr(synthetic, "make_sequence", small_make)
+    real_config = cli.Config if hasattr(cli, "Config") else None
+
+    # shrink the default config the CLI builds
+    import defslam_tpu.config as cfgmod
+
+    orig = cfgmod.Config
+
+    class SmallConfig(orig):
+        def __new__(cls, *a, **kw):
+            kw.setdefault("orb", OrbConfig(n_features=150, n_levels=2, max_keypoints=192))
+            kw.setdefault("sft", SfTConfig(lm_iterations=10))
+            kw.setdefault("capacity", CapacityConfig(max_map_points=256, max_keyframes=4))
+            kw.setdefault("tracking", TrackingConfig(keyframe_period=4))
+            return orig(*a, **kw)
+
+    monkeypatch.setattr(cli, "Config", SmallConfig, raising=False)
+    out = tmp_path / "out"
+    rc = cli.main(["synth", "--frames", "6", "--out", str(out)])
+    assert rc == 0
+    assert (out / "Matches.txt").exists()
+    assert (out / "trajectory.txt").exists()
+
+
+def test_profiling_stages():
+    from defslam_tpu import profiling
+
+    profiling.enable(True)
+    try:
+        with profiling.stage("unit_test_stage"):
+            _ = jnp.ones(8).sum()
+        rep = profiling.report(reset=True)
+        assert "unit_test_stage" in rep
+        assert rep["unit_test_stage"]["count"] == 1
+    finally:
+        profiling.enable(False)
