@@ -59,11 +59,16 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm SO(3) -> so(3): (..., 3, 3) -> (..., 3).
 
     Valid away from theta = pi (SLAM increments are always small).
+
+    Autodiff-safe at theta = 0: theta comes from atan2(||v||, trace-1) with
+    the sqrt input guarded away from zero in the small branch (the safe-where
+    pattern), so forward/reverse derivatives of near-identity rotations are
+    finite — the naive arccos((trace-1)/2) form produces NaN Jacobians there
+    even under jnp.where (essential-graph edges between consecutive keyframes
+    are near-identity in the common case).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # vee of the antisymmetric part
+    # vee of the antisymmetric part: v = 2 sin(theta) * axis
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -72,11 +77,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, theta / jnp.maximum(2.0 * sin_t, _EPS)
-    )
+    v2 = jnp.sum(v * v, axis=-1)  # = 4 sin^2(theta)
+    small = v2 < 1e-12
+    v2_safe = jnp.where(small, 1.0, v2)  # guard the sqrt for autodiff
+    vnorm = jnp.sqrt(v2_safe)
+    theta = jnp.arctan2(vnorm, trace - 1.0)  # atan2(2 sin t, 2 cos t)
+    # w = theta * axis = (theta / ||v||) * v; small-angle: theta ~ ||v||/2
+    scale = jnp.where(small, 0.5 + v2 / 48.0, theta / vnorm)
     return scale[..., None] * v
 
 

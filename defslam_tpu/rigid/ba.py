@@ -232,7 +232,10 @@ def ba_solve(
     chi2 = _chi2_of(problem, K, poses, xyz)
     keep = problem.obs_mask & (problem.pid >= 0) & (chi2 <= chi2_th)
     prob2 = problem._replace(poses=poses, xyz=xyz, obs_mask=keep)
-    poses, xyz = _lm_phase(prob2, K, iters_second, huber_delta)
+    # second phase runs WITHOUT the robust kernel on the gated inliers, like
+    # the reference's e->setRobustKernel(0) refit (Optimizer.cc:447-771):
+    # a huge delta makes the Huber effectively quadratic
+    poses, xyz = _lm_phase(prob2, K, iters_second, 1e6)
     chi2 = _chi2_of(prob2, K, poses, xyz)
     inlier = keep & (chi2 <= chi2_th)
     cost = _cost_at(prob2, K, poses, xyz, huber_delta)
@@ -268,7 +271,7 @@ def optimize_sim3(
     inv_sigma2_1: jnp.ndarray,  # (N,)
     inv_sigma2_2: jnp.ndarray,  # (N,)
     mask: jnp.ndarray,  # (N,)
-    chi2_th: float = 9.210,  # Optimizer.cc OptimizeSim3 th2
+    chi2_th: float = 10.0,  # th2=10 passed by LoopClosing.cc:323
     num_iters: int = 20,
 ) -> Sim3Result:
     """Refine the camera-2 -> camera-1 Sim3 (g2o ``OptimizeSim3``,
