@@ -26,7 +26,8 @@ class CameraConfig:
     fy: float = 541.107
     cx: float = 318.308
     cy: float = 235.285
-    # OpenCV radial/tangential distortion (applied host-side at ingest).
+    # OpenCV radial/tangential distortion — applied to extracted keypoint
+    # coordinates inside the frontend (Frame::UndistortKeyPoints parity).
     k1: float = 0.0
     k2: float = 0.0
     p1: float = 0.0
@@ -44,6 +45,14 @@ class CameraConfig:
             [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
             dtype=np.float32,
         )
+
+    @property
+    def dist(self):
+        return (self.k1, self.k2, self.p1, self.p2, self.k3)
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(c) > 0.0 for c in self.dist)
 
 
 @dataclasses.dataclass(frozen=True)

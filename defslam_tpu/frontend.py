@@ -100,6 +100,15 @@ def extract_features(img: jnp.ndarray, cfg: Config) -> Features:
         )
 
     cat = Features(*[jnp.concatenate(xs, axis=0) for xs in zip(*parts)])
+    if cfg.camera.has_distortion:
+        # undistort keypoint coordinates (Frame::UndistortKeyPoints) —
+        # trace-time branch: distortion-free configs compile no extra ops
+        from defslam_tpu.geometry import camera as cammod
+
+        K = jnp.asarray(cfg.camera.K)
+        cat = cat._replace(
+            xy=cammod.undistort_points(K, cfg.camera.dist, cat.xy)
+        )
     k = cfg.orb.max_keypoints
     n = cat.xy.shape[0]
     if n > k:

@@ -2,9 +2,11 @@
 
 Replaces the reference's scattered cv::projectPoints / manual fx*x/z+cx code
 (Frame.cc isInFrustum, DefOptimizer.cc edge projections, sft_types.h:120-135)
-with one batched module.  Distortion is handled host-side at image ingest
-(images are undistorted/rectified once, like the reference's stereo app,
-Apps/stereo_groundtruth.cc:56-94), so device-side projection is pure pinhole.
+with one batched module.  Projection is pure pinhole; lens distortion is
+applied to KEYPOINT coordinates only, exactly like the reference
+(Frame::UndistortKeyPoints on raw-lens mono sequences; the stereo app
+instead rectifies images host-side, Apps/stereo_groundtruth.cc:56-94) —
+see :func:`undistort_points`, wired into the feature frontend.
 """
 
 from __future__ import annotations
@@ -42,6 +44,45 @@ def from_retina(K: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     u = K[0, 0] * xy[..., 0] + K[0, 2]
     v = K[1, 1] * xy[..., 1] + K[1, 2]
     return jnp.stack([u, v], axis=-1)
+
+
+def distort_points(K: jnp.ndarray, dist, uv: jnp.ndarray) -> jnp.ndarray:
+    """Forward OpenCV radial-tangential model: ideal pixels -> observed
+    pixels.  dist = (k1, k2, p1, p2, k3)."""
+    k1, k2, p1, p2, k3 = dist
+    x = (uv[..., 0] - K[0, 2]) / K[0, 0]
+    y = (uv[..., 1] - K[1, 2]) / K[1, 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack(
+        [K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]], axis=-1
+    )
+
+
+def undistort_points(
+    K: jnp.ndarray, dist, uv: jnp.ndarray, iters: int = 8
+) -> jnp.ndarray:
+    """Invert the radial-tangential distortion on keypoint coordinates —
+    the reference's Frame::UndistortKeyPoints (cv::undistortPoints with
+    Camera.k1..k3/p1/p2, Frame.cc).  Same fixed-point iteration OpenCV
+    uses, branchless and batched; exact identity when all coefficients are
+    zero.  dist = (k1, k2, p1, p2, k3)."""
+    k1, k2, p1, p2, k3 = dist
+    xd = (uv[..., 0] - K[0, 2]) / K[0, 0]
+    yd = (uv[..., 1] - K[1, 2]) / K[1, 1]
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return jnp.stack(
+        [K[0, 0] * x + K[0, 2], K[1, 1] * y + K[1, 2]], axis=-1
+    )
 
 
 def in_image(uv: jnp.ndarray, width: int, height: int, margin: float = 0.0):

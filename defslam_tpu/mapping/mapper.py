@@ -117,8 +117,8 @@ def densify_matches(
         pred = bspline.evaluate(ctrl, retina1[:, 0], retina1[:, 1], dom)  # (K, 2)
         window = matching.window_mask(pred, ret2, rad_ret)
         dist = matching.masked_hamming(
-            desc1, d2, valid1 & pv, v2, pair_mask=window
-        )
+            desc1, d2, valid1 & pv, v2, pair_mask=window, use_pallas=False,
+        )  # vmapped over pairs -> XLA path
         m = matching.best_match(dist, max_dist=th, nn_ratio=0.85, mutual=True)
         return m.idx, m.dist
 
@@ -151,16 +151,28 @@ def integrate_surface(
 def registration_pairs(
     surf_xyz: jnp.ndarray,  # (K, 3) SfN surface at the KF keypoints
     pid_row: jnp.ndarray,  # (K,) kp->point
-    points_xyz: jnp.ndarray,  # (P, 3)
+    kp_xyz: jnp.ndarray,  # (K, 3) positions REGISTERED at KF insertion
+    kp_xyz_valid: jnp.ndarray,  # (K,)
+    norm_valid: jnp.ndarray,  # (K,) normal reliability (covNorm gate)
     points_valid: jnp.ndarray,  # (P,)
+    points_facet: jnp.ndarray,  # (P,)
     kf_pose: jnp.ndarray,  # (4, 4)
 ):
-    """Gather (surface, current-map) 3D pairs in the KF camera frame for
-    Sim(3) registration (SurfaceRegistration.cc:48-105's bookkeeping)."""
-    p_cap = points_xyz.shape[0]
+    """Gather (surface, registered-map) 3D pairs in the KF camera frame
+    for Sim(3) registration — SurfaceRegistration.cc:48-105: uses the
+    positions stored at keyframe insertion (DefMapPoint::PosesKeyframes,
+    not the current re-posed positions), requires the point embedded
+    (getFacet) and its normal reliably estimated (covNorm)."""
+    p_cap = points_valid.shape[0]
     pid = jnp.clip(pid_row, 0, p_cap - 1)
-    mask = (pid_row >= 0) & points_valid[pid]
-    map_cam = se3.transform(kf_pose, points_xyz)[pid]
+    mask = (
+        (pid_row >= 0)
+        & points_valid[pid]
+        & (points_facet[pid] >= 0)
+        & kp_xyz_valid
+        & norm_valid
+    )
+    map_cam = se3.transform(kf_pose, kp_xyz)
     return surf_xyz, jnp.where(mask[:, None], map_cam, 0.0), mask
 
 
@@ -250,6 +262,57 @@ def write_normals(
     return norm_k, norm_valid, jnp.sum(has)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def exploration_count(
+    kp_xy: jnp.ndarray,  # (K, 2) pixel coords of the new KF's keypoints
+    kp_valid: jnp.ndarray,  # (K,)
+    pid_row: jnp.ndarray,  # (K,) kp->point (-1 = unmatched)
+    cfg: Config,
+) -> jnp.ndarray:
+    """needNewTemplate's exploration test (DefLocalMapping.cc:355-404):
+    rasterize matched keypoints into an occupancy image, dilate with a
+    (width/20)^2 box (the reference's filter2D + threshold), and count the
+    unmatched keypoints OUTSIDE the dilated mask — keypoints in genuinely
+    new image regions.  Returns the count (int32 scalar)."""
+    h, w = cfg.camera.height, cfg.camera.width
+    x = jnp.clip(kp_xy[:, 0].astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(kp_xy[:, 1].astype(jnp.int32), 0, h - 1)
+    matched = kp_valid & (pid_row >= 0)
+    occ = jnp.zeros((h, w), jnp.float32).at[y, x].max(
+        matched.astype(jnp.float32)
+    )
+    k = max(w // 20, 1)
+    dil = jax.lax.reduce_window(
+        occ, 0.0, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    outside = dil[y, x] < 0.5
+    return jnp.sum(kp_valid & (pid_row < 0) & outside).astype(jnp.int32)
+
+
+@jax.jit
+def select_ref_keyframe(
+    pid_row: jnp.ndarray,  # (K,) the new KF's kp->point table
+    point_ref_kf: jnp.ndarray,  # (P,) creating keyframe of each point
+    point_valid: jnp.ndarray,  # (P,)
+    kf_valid: jnp.ndarray,  # (F,)
+    slot: jnp.ndarray,  # () the new KF (fallback)
+) -> jnp.ndarray:
+    """selectKeyframe (DefLocalMapping.cc:411-441): among the map points the
+    new keyframe observes, vote for each point's reference (creating)
+    keyframe; the argmax wins, the new KF itself if no votes."""
+    p_cap = point_ref_kf.shape[0]
+    f_cap = kf_valid.shape[0]
+    pid = jnp.clip(pid_row, 0, p_cap - 1)
+    ok = (pid_row >= 0) & point_valid[pid]
+    ref = jnp.clip(point_ref_kf[pid], 0, f_cap - 1)
+    votes = jnp.zeros(f_cap, jnp.int32).at[
+        jnp.where(ok, ref, f_cap)
+    ].add(1, mode="drop")
+    votes = jnp.where(kf_valid, votes, 0)
+    best = jnp.argmax(votes).astype(jnp.int32)
+    return jnp.where(votes[best] > 0, best, slot)
+
+
 class TemplateRegen(NamedTuple):
     template: meshmod.Template
     point_xyz: jnp.ndarray  # (K, 3) world positions of ref-KF keypoints
@@ -267,6 +330,7 @@ def rebuild_points(
     pid_row: jnp.ndarray,  # (K,) kp->point of the reference keyframe
     kp_valid: jnp.ndarray,  # (K,)
     kp_desc: jnp.ndarray,  # (K, 8)
+    kp_angle: jnp.ndarray,  # (K,)
     slot: jnp.ndarray,  # () int32
     dom: jnp.ndarray,
     cfg: Config,
@@ -313,6 +377,7 @@ def rebuild_points(
 
     xyz = xyz.at[dest].set(regen.point_xyz, mode="drop")
     desc = points.desc.at[dest].set(kp_desc, mode="drop")
+    angle = points.angle.at[dest].set(kp_angle, mode="drop")
     facet = facet.at[dest].set(regen.point_facet, mode="drop")
     bary = bary.at[dest].set(regen.point_bary, mode="drop")
     ref_kf = points.ref_kf.at[dest].set(slot.astype(jnp.int32), mode="drop")
@@ -324,8 +389,8 @@ def rebuild_points(
 
     pid_row_new = jnp.where(can, dest.astype(jnp.int32), pid_row)
     new_points = points._replace(
-        xyz=xyz, desc=desc, facet=facet, bary=bary, ref_kf=ref_kf,
-        ref_kp=ref_kp, valid=valid, n_obs=n_obs,
+        xyz=xyz, desc=desc, angle=angle, facet=facet, bary=bary,
+        ref_kf=ref_kf, ref_kp=ref_kp, valid=valid, n_obs=n_obs,
     )
     return new_points, pid_row_new
 

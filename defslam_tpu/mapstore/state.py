@@ -36,6 +36,12 @@ class KeyframeStore(NamedTuple):
     angle: jnp.ndarray  # (F, K)
     kp_valid: jnp.ndarray  # (F, K) bool
     point_id: jnp.ndarray  # (F, K) int32 — map point seen at this kp, -1
+    # world position of the matched point AT KEYFRAME INSERTION — the
+    # reference's DefMapPoint::PosesKeyframes registration (DefKeyFrame.cc:
+    # 59-74), consumed by Sim3 surface registration instead of the current
+    # (re-posed) position (SurfaceRegistration.cc:69-77)
+    kp_xyz: jnp.ndarray  # (F, K, 3)
+    kp_xyz_valid: jnp.ndarray  # (F, K) bool
     frame_id: jnp.ndarray  # (F,) int32 source frame
     valid: jnp.ndarray  # (F,) bool
     # NRSfM per-keyframe surface (depth spline + per-kp normals)
@@ -60,6 +66,9 @@ class PointStore(NamedTuple):
     bary: jnp.ndarray  # (P, 3)
     ref_kf: jnp.ndarray  # (P,) int32
     ref_kp: jnp.ndarray  # (P,) int32 keypoint index in ref KF
+    angle: jnp.ndarray  # (P,) f32 — orientation of the last matched
+    #   keypoint (LastFrame angle for the rotation-consistency histogram,
+    #   ORBmatcher.cc:35-37 + SearchByProjection rotHist)
     valid: jnp.ndarray  # (P,) bool
     n_obs: jnp.ndarray  # (P,) int32 — observation count (for culling)
 
@@ -81,6 +90,8 @@ def empty_keyframes(cfg: Config) -> KeyframeStore:
         angle=jnp.zeros((f, k)),
         kp_valid=jnp.zeros((f, k), bool),
         point_id=jnp.full((f, k), -1, jnp.int32),
+        kp_xyz=jnp.zeros((f, k, 3)),
+        kp_xyz_valid=jnp.zeros((f, k), bool),
         frame_id=jnp.full((f,), -1, jnp.int32),
         valid=jnp.zeros((f,), bool),
         surf_ctrl=jnp.ones((f, nu, nv)),
@@ -99,6 +110,7 @@ def empty_points(cfg: Config) -> PointStore:
         bary=jnp.zeros((p, 3)),
         ref_kf=jnp.full((p,), -1, jnp.int32),
         ref_kp=jnp.full((p,), -1, jnp.int32),
+        angle=jnp.zeros((p,)),
         valid=jnp.zeros((p,), bool),
         n_obs=jnp.zeros((p,), jnp.int32),
     )
@@ -117,9 +129,16 @@ def _add_keyframe_impl(
     retina: jnp.ndarray,
     point_id: jnp.ndarray,
     frame_id,
+    kp_xyz: jnp.ndarray | None = None,
+    kp_xyz_valid: jnp.ndarray | None = None,
 ) -> KeyframeStore:
     """Functionally insert a keyframe at `slot` (host picks the slot —
     lowest invalid index, or recycles the oldest)."""
+    k = feats.capacity
+    if kp_xyz is None:
+        kp_xyz = jnp.zeros((k, 3))
+    if kp_xyz_valid is None:
+        kp_xyz_valid = jnp.zeros((k,), bool)
     return kfs._replace(
         pose=kfs.pose.at[slot].set(pose),
         xy=kfs.xy.at[slot].set(feats.xy),
@@ -129,6 +148,8 @@ def _add_keyframe_impl(
         angle=kfs.angle.at[slot].set(feats.angle),
         kp_valid=kfs.kp_valid.at[slot].set(feats.valid),
         point_id=kfs.point_id.at[slot].set(point_id),
+        kp_xyz=kfs.kp_xyz.at[slot].set(kp_xyz),
+        kp_xyz_valid=kfs.kp_xyz_valid.at[slot].set(kp_xyz_valid),
         frame_id=kfs.frame_id.at[slot].set(frame_id),
         valid=kfs.valid.at[slot].set(True),
         surf_valid=kfs.surf_valid.at[slot].set(False),
@@ -151,11 +172,13 @@ def insert_keyframe_from_matches(
     inlier: jnp.ndarray,  # (P,) bool
     K: jnp.ndarray,
     frame_id,
+    points_xyz: jnp.ndarray | None = None,  # (P, 3) current positions
 ):
     """One fused device op: invert point->kp matches into the keyframe's
     kp->point table, normalize keypoints to retina coords
-    (DefKeyFrame::NormaliseKeypoints), insert the keyframe, and bump the
-    matched points' observation counts."""
+    (DefKeyFrame::NormaliseKeypoints), register the matched points' current
+    world positions for later Sim3 registration (DefKeyFrame.cc:59-74),
+    insert the keyframe, and bump the matched points' observation counts."""
     from defslam_tpu.geometry import camera as cammod
 
     p_cap = kp_of_point.shape[0]
@@ -168,7 +191,17 @@ def insert_keyframe_from_matches(
         .set(jnp.arange(p_cap, dtype=jnp.int32), mode="drop")
     )
     retina = cammod.to_retina(K, feats.xy)
-    kfs = _add_keyframe_impl(kfs, slot, pose, feats, retina, pid_of_kp, frame_id)
+    if points_xyz is not None:
+        kp_xyz = (
+            jnp.zeros((k_cap, 3)).at[tgt].set(points_xyz, mode="drop")
+        )
+        kp_xyz_valid = pid_of_kp >= 0
+    else:
+        kp_xyz, kp_xyz_valid = None, None
+    kfs = _add_keyframe_impl(
+        kfs, slot, pose, feats, retina, pid_of_kp, frame_id,
+        kp_xyz, kp_xyz_valid,
+    )
     return kfs, n_obs + good.astype(jnp.int32)
 
 

@@ -26,9 +26,24 @@ class Matches(NamedTuple):
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """(N, 8) uint32 x (M, 8) uint32 -> (N, M) int32 Hamming distances."""
+    """(N, 8) uint32 x (M, 8) uint32 -> (N, M) int32 Hamming distances.
+
+    Pure-XLA path: materializes the (N, M, 8) XOR tensor in HBM before the
+    word reduction."""
     x = desc_a[:, None, :] ^ desc_b[None, :, :]
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def hamming_auto(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatched Hamming matrix: the tiled Pallas kernel on TPU
+    (keeps descriptor tiles in VMEM, no (N, M, 8) HBM intermediate —
+    ops.pallas_kernels), the XLA path elsewhere.  Trace-time decision; both
+    paths produce identical int32 distances (tests/test_pallas.py)."""
+    if jax.default_backend() == "tpu":
+        from defslam_tpu.ops.pallas_kernels import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_a, desc_b)
+    return hamming_matrix(desc_a, desc_b)
 
 
 def masked_hamming(
@@ -37,8 +52,19 @@ def masked_hamming(
     valid_a: jnp.ndarray,
     valid_b: jnp.ndarray,
     pair_mask: jnp.ndarray | None = None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    d = hamming_matrix(desc_a, desc_b)
+    """Masked distance matrix.  ``use_pallas``: None = auto (Pallas on TPU),
+    False = force the XLA path (required under vmap — call sites batching
+    over keyframe pairs pass False)."""
+    if use_pallas is None:
+        d = hamming_auto(desc_a, desc_b)
+    elif use_pallas:
+        from defslam_tpu.ops.pallas_kernels import hamming_matrix_pallas
+
+        d = hamming_matrix_pallas(desc_a, desc_b)
+    else:
+        d = hamming_matrix(desc_a, desc_b)
     bad = ~(valid_a[:, None] & valid_b[None, :])
     if pair_mask is not None:
         bad = bad | ~pair_mask

@@ -9,8 +9,11 @@ block is produced from VMEM-resident descriptor tiles with the word loop
 kept in registers — no (N, M, 8) intermediate traffic.
 
 Kernels are validated against the jnp reference in interpret mode on CPU
-(tests/test_pallas.py) and selected via ``use_pallas=True`` (auto-enabled on
-TPU backends by ops.matching.hamming_auto).
+(tests/test_pallas.py).  Production wiring: ``ops.matching.hamming_auto``
+dispatches here whenever the default backend is TPU, so the per-frame
+projection search (tracker.match_points_to_frame) and relocalization voting
+run through this kernel on hardware; vmapped call sites (densify over
+keyframe pairs) force the XLA path via ``use_pallas=False``.
 """
 
 from __future__ import annotations

@@ -101,84 +101,114 @@ def sft_solve_sharded(
     data: sftmod.SfTData,
     cfg: Config,
     num_iters: int | None = None,
+    reg_temp: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Distributed Gauss-Newton over the observation shards.
+    """Distributed SfT: the SAME Levenberg-Marquardt solve as
+    ``sft.solve`` (analytic block Jacobians, IRLS Huber on reprojection
+    blocks, Marquardt damping, accept/reject, LocalZone masking) with the
+    observation rows sharded over the "dp" mesh axis.
 
-    Returns (pose (4,4), nodes (M,3)).  Each device: local residual stack ->
-    local J via jacfwd -> local (H, g) -> psum over "dp" -> replicated
-    damped solve + update.  This is the Schur-free variant (the full state
-    fits every device easily at reference scales: 306 parameters); the
-    Schur-complement split of camera vs node blocks becomes worthwhile only
-    for much larger meshes.
+    Each device evaluates its observation shard's residuals + Jacobian rows
+    (``sft.obs_forward``), the weighted normal-equation contributions are
+    ``psum``'d over ICI, the regularizer rows (observation-independent) are
+    evaluated replicated, and the tiny damped 306-parameter solve + the
+    accept/reject decision run identically on every device.  Bitwise the
+    same update sequence as the single-chip path (the psum is the only
+    reduction-order difference).
+
+    Returns (pose (4,4), nodes (M,3)), both replicated.
     """
     c = cfg
     n_dev = mesh.devices.size
     iters = num_iters or c.sft.lm_iterations
     m = data.nodes0.shape[0]
     n_params = 6 + 3 * m
-    reg = c.regularizer
     topo = meshmod.grid_topology(c.mesh.nodes_u, c.mesh.nodes_v)
     n_obs_total = data.obs_uv.shape[0]
     assert n_obs_total % n_dev == 0, "pad observations to the mesh size"
+    rt = c.regularizer.temporal if reg_temp is None else reg_temp
+    delta_h = c.sft.huber_delta
 
-    obs_axes = sftmod.SfTData(
-        K=P(), T0=P(), nodes0=P(), nodes_anchor=P(), rest_len=P(),
-        lap_rest=P(), obs_uv=P("dp"), obs_face=P("dp"), obs_bary=P("dp"),
-        obs_invsigma2=P("dp"), obs_mask=P("dp"),
+    # masks / folded weights from the FULL observation set (replicated),
+    # then shard the per-observation constants alongside the data
+    pre = sftmod._prepare(data, topo, c, rt)
+
+    data_specs = sftmod.SfTData(
+        K=P(), T0=P(), nodes0=P(), nodes_rest=P(), rest_len=P(),
+        lap_rest=P(), lap_w=P(), curv_scale=P(), interior=P(),
+        mean_edge=P(), obs_uv=P("dp"), obs_face=P("dp"), obs_bary=P("dp"),
+        obs_invsigma2=P("dp"), obs_mask=P("dp"), n_kp=P(),
     )
-    data_sh = jax.tree.map(
-        lambda a, sp: _shard(mesh, a, sp), data, obs_axes,
-        is_leaf=lambda x: isinstance(x, jnp.ndarray),
+    pre_specs = sftmod._Pre(
+        fcorners=P("dp"), onehot_f=P("dp"), ringx=P(), onehot_r=P(),
+        e0=P(), e1=P(), onehot_e=P(), viewed=P(), optlap=P(),
+        w_obs_base=P("dp"), c_lap=P(), c_edge=P(), c_temp=P(),
+        col_free=P(), sw=P(),
     )
+    data_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), data, data_specs)
+    pre_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), pre, pre_specs)
+    pin = 1.0 - pre.col_free
 
-    def local_residuals(x, d: sftmod.SfTData):
-        """Residuals of this shard: local reprojection + 1/n_dev-scaled
-        regularizers (so the psum adds them exactly once)."""
-        xi = x[:6]
-        nodes = d.nodes0 + x[6:].reshape(m, 3)
-        T = se3.se3_exp(xi) @ d.T0
-        pw = meshmod.facet_positions(nodes, topo, d.obs_face, d.obs_bary)
-        pc = se3.transform(T, pw)
-        from defslam_tpu.geometry import camera as cammod
+    sqrt_nkp = float(np.sqrt(max(float(data.n_kp), 1.0)))
 
-        uv = cammod.project(d.K, pc)
-        w = jnp.sqrt(d.obs_invsigma2 / jnp.maximum(n_obs_total, 1)) * d.obs_mask
-        w = jnp.where(pc[..., 2] < 1e-6, 0.0, w)
-        r_reproj = ((uv - d.obs_uv) * w[:, None]).reshape(-1)
-
-        lap = meshmod.laplacian(nodes, topo)
-        lap_mag = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12)
-        r_lap = jnp.sqrt(reg.laplacian / (m * n_dev)) * (lap_mag - d.lap_rest)
-        ln = meshmod.edge_lengths(nodes, topo)
-        n_e = d.rest_len.shape[0]
-        r_inex = (
-            jnp.sqrt(reg.inextensibility / (n_e * n_dev))
-            * (ln - d.rest_len) / d.rest_len
-        )
-        r_temp = jnp.sqrt(reg.temporal / (m * m * n_dev)) * (
-            nodes - d.nodes_anchor
-        ).reshape(-1)
-        return jnp.concatenate([r_reproj, r_lap, r_inex, r_temp])
+    def hub(r_o):
+        # same sqrt(N)-rescaled Huber knee as sft.solve
+        rb = r_o.reshape(-1, 2)
+        nrm = jnp.sqrt(jnp.sum(rb * rb, axis=-1) + 1e-12) * sqrt_nkp
+        return jnp.repeat(jnp.minimum(1.0, delta_h / nrm), 2)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(obs_axes,), out_specs=(P(), P())
+        jax.shard_map, mesh=mesh, in_specs=(data_specs, pre_specs),
+        out_specs=(P(), P()),
     )
-    def run(d: sftmod.SfTData):
-        def gn_step(_, x):
-            J = jax.jacfwd(local_residuals)(x, d)
-            r = local_residuals(x, d)
-            H_local = jnp.einsum("ri,rj->ij", J, J, precision=HIGHEST)
-            g_local = jnp.einsum("ri,r->i", J, r, precision=HIGHEST)
-            H = jax.lax.psum(H_local, "dp")
-            g = jax.lax.psum(g_local, "dp")
-            A = H + 1e-4 * jnp.diag(jnp.diag(H) + 1e-9)
+    def run(d, p):
+        def cost_at(T, nodes):
+            r_o, _ = sftmod.obs_forward(T, nodes, d, p, False)
+            c_o = jax.lax.psum(0.5 * jnp.sum(hub(r_o) * r_o * r_o), "dp")
+            r_r, _ = sftmod.reg_forward(nodes, d, p, False)
+            return c_o + 0.5 * jnp.sum(r_r * r_r)
+
+        def cond(carry):
+            T, nodes, lam, cost, i, done = carry
+            return (i < iters) & ~done
+
+        def body(carry):
+            T, nodes, lam, cost, i, _ = carry
+            r_o, J_o = sftmod.obs_forward(T, nodes, d, p, True)
+            w = hub(r_o)
+            H = jax.lax.psum(
+                jnp.einsum("ri,r,rj->ij", J_o, w, J_o, precision=HIGHEST), "dp"
+            )
+            g = jax.lax.psum(
+                jnp.einsum("ri,r->i", J_o, w * r_o, precision=HIGHEST), "dp"
+            )
+            r_r, J_r = sftmod.reg_forward(nodes, d, p, True)
+            H = H + jnp.einsum("ri,rj->ij", J_r, J_r, precision=HIGHEST)
+            g = g + jnp.einsum("ri,r->i", J_r, r_r, precision=HIGHEST)
+            H = H + jnp.diag(pin)
+            A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
             L = jnp.linalg.cholesky(A)
             dx = -jax.scipy.linalg.cho_solve((L, True), g)
-            return x + jnp.where(jnp.isfinite(dx), dx, 0.0)
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            T_new = se3.se3_exp(dx[:6]) @ T
+            nodes_new = nodes + dx[6:].reshape(m, 3)
+            c_new = cost_at(T_new, nodes_new)
+            accept = (c_new < cost) & jnp.isfinite(c_new)
+            converged = accept & (cost - c_new <= 1e-6 * (cost + 1e-30))
+            T = jnp.where(accept, T_new, T)
+            nodes = jnp.where(accept, nodes_new, nodes)
+            cost = jnp.where(accept, c_new, cost)
+            lam = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
+            )
+            return (T, nodes, lam, cost, i + 1, converged | (lam >= 1e8))
 
-        x = jax.lax.fori_loop(0, iters, gn_step, jnp.zeros(n_params, jnp.float32))
-        T = se3.se3_exp(x[:6]) @ d.T0
-        nodes = d.nodes0 + x[6:].reshape(m, 3)
+        T, nodes, _, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (d.T0, d.nodes0, jnp.asarray(c.sft.lm_lambda_init, jnp.float32),
+             cost_at(d.T0, d.nodes0), jnp.asarray(0), jnp.asarray(False)),
+        )
         return T, nodes
 
-    return jax.jit(run)(data_sh)
+    return jax.jit(run)(data_sh, pre_sh)

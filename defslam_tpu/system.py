@@ -89,7 +89,6 @@ class System:
         self.template: meshmod.Template | None = None
         self.template_ref_kf = -1
         self.pose = jnp.eye(4)
-        self.nodes_anchor = None
         self.state = TrackingState.NO_IMAGES_YET
         self.frame_id = -1
         self.frames_since_kf = 0
@@ -194,7 +193,6 @@ class System:
         )
         self.template = meshmod.make_template(nodes, self.topo)
         self.template_ref_kf = 0
-        self.nodes_anchor = self.template.nodes
 
         facet, bary, inside = meshmod.embed_uv(retina, self.dom, self.topo)
         usable = np.asarray(feats.valid & inside)
@@ -216,6 +214,9 @@ class System:
         self.points = pts._replace(
             xyz=jnp.asarray(xyz),
             desc=jnp.asarray(np.asarray(feats.desc)[idx_kp.tolist() + [0] * (p_cap - n)]),
+            angle=jnp.asarray(
+                np.asarray(feats.angle)[idx_kp.tolist() + [0] * (p_cap - n)]
+            ),
             facet=jnp.asarray(
                 np.concatenate([np.asarray(facet)[idx_kp], -np.ones(p_cap - n, np.int32)])
             ),
@@ -243,9 +244,7 @@ class System:
     def _track(self, feats_or_img, timestamp: float) -> FrameResult:
         c = self.cfg
         feats, matches, res, new_points, stats = tracker.track_frame(
-            feats_or_img, self.points, self.pose,
-            self.template.nodes, self.nodes_anchor,
-            self.template.rest_len, self.template.lap_rest, self.K, c,
+            feats_or_img, self.points, self.pose, self.template, self.K, c,
         )
         # single host readback per frame: stats + pose together
         stats_h, pose_h = jax.device_get((stats, res.T))
@@ -253,9 +252,7 @@ class System:
         if n_matches < c.tracking.min_inliers_ok:
             # wider search window once (TrackWithMotionModel retry, then LOST)
             feats, matches, res, new_points, stats = tracker.track_frame(
-                feats_or_img, self.points, self.pose,
-                self.template.nodes, self.nodes_anchor,
-                self.template.rest_len, self.template.lap_rest, self.K, c,
+                feats_or_img, self.points, self.pose, self.template, self.K, c,
                 window_scale=2.0,
             )
             stats_h, pose_h = jax.device_get((stats, res.T))
@@ -279,9 +276,8 @@ class System:
             if bool(ok_r):
                 self.pose = T_r
                 feats, matches, res, new_points, stats = tracker.track_frame(
-                    feats_or_img, self.points, self.pose,
-                    self.template.nodes, self.nodes_anchor,
-                    self.template.rest_len, self.template.lap_rest, self.K, c,
+                    feats_or_img, self.points, self.pose, self.template,
+                    self.K, c,
                 )
                 stats_h, pose_h = jax.device_get((stats, res.T))
                 n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
@@ -292,7 +288,6 @@ class System:
                                    n_matches, n_inliers, False, False)
 
         self.pose = res.T
-        self.nodes_anchor = res.nodes
         self.template = self.template._replace(nodes=res.nodes)
         self.points = new_points
         self.trajectory.append(pose_h)
@@ -315,13 +310,10 @@ class System:
                     self.points, self.pose, self.K, feats, c
                 )
                 res2 = tracker.sft_track(
-                    self.points, matches2, feats,
-                    self.template.nodes, self.template.nodes,
-                    self.template.rest_len, self.template.lap_rest,
+                    self.points, matches2, feats, self.template,
                     self.pose, self.K, c, reg_temp=0.0,
                 )
                 self.pose = res2.T
-                self.nodes_anchor = res2.nodes
                 self.template = self.template._replace(nodes=res2.nodes)
                 self.points = tracker.reposition_points(
                     self.points, res2.nodes, c
@@ -353,7 +345,7 @@ class System:
         new_kfs, new_n_obs = store.insert_keyframe_from_matches(
             self.kfs, self.points.n_obs, jnp.asarray(slot, jnp.int32),
             self.pose, feats, matches.kp_of_point, res.inlier, self.K,
-            jnp.asarray(self.frame_id, jnp.int32),
+            jnp.asarray(self.frame_id, jnp.int32), self.points.xyz,
         )
         self.kfs = new_kfs
         self.points = self.points._replace(n_obs=new_n_obs)
@@ -448,14 +440,31 @@ class System:
         )
         self.kfs = self.kfs._replace(norm_k=norm_k, norm_valid=norm_valid)
 
-        # ---- template decision (needNewTemplate, DefLocalMapping.cc:355-404)
-        unmatched_dev = jnp.sum(self.kfs.kp_valid[slot] & (pid_row < 0))
-        unmatched, n_normals = (
-            int(x) for x in jax.device_get((unmatched_dev, n_normals_dev))
+        # ---- template decision: exploring -> re-template from the NEW
+        # keyframe; otherwise from the most-voted reference keyframe — the
+        # reference re-templates EVERY keyframe, only the source differs
+        # (DefLocalMapping::NRSfM 186-196, needNewTemplate 355-404,
+        # selectKeyframe 411-441)
+        pid_row = self.kfs.point_id[slot]
+        explore_dev = mapper.exploration_count(
+            self.kfs.xy[slot], self.kfs.kp_valid[slot], pid_row, c
         )
-        if unmatched < c.mapping.points_to_template or n_normals < c.mapping.min_normals:
+        sel_dev = mapper.select_ref_keyframe(
+            pid_row, self.points.ref_kf, self.points.valid,
+            self.kfs.valid, slot_j,
+        )
+        n_new, sel, n_normals = (
+            int(x) for x in jax.device_get((explore_dev, sel_dev, n_normals_dev))
+        )
+        exploring = n_new > c.mapping.points_to_template
+        kf_t = slot if exploring else sel
+        # enoughNormals gate (Surface.cc:62-67) on the template keyframe
+        n_norm_t = n_normals if kf_t == slot else int(
+            jax.device_get(jnp.sum(self.kfs.norm_valid[kf_t]))
+        )
+        if n_norm_t < c.mapping.min_normals:
             return False
-        return self._retemplate(slot)
+        return self._retemplate(kf_t)
 
     def _densify(self, slot: int, pairs, ctrls, np_pairs: int):
         """Warp-guided match densification (DefORBmatcher::findbyWarp /
@@ -501,11 +510,16 @@ class System:
         if not bool(res_sfn.ok):
             return False
 
-        # registration pairs: matched keypoints' current map positions
+        # registration pairs: the point positions REGISTERED at keyframe
+        # insertion (DefMapPoint::PosesKeyframes) gated by normal
+        # reliability (covNorm, SurfaceRegistration.cc:69-77)
         pose = self.kfs.pose[slot]
         pid_row = self.kfs.point_id[slot]
         surf_xyz, map_xyz, mask = mapper.registration_pairs(
-            res_sfn.xyz, pid_row, self.points.xyz, self.points.valid, pose
+            res_sfn.xyz, pid_row,
+            self.kfs.kp_xyz[slot], self.kfs.kp_xyz_valid[slot],
+            self.kfs.norm_valid[slot],
+            self.points.valid, self.points.facet, pose,
         )
         reg = mapper.register_surface(surf_xyz, map_xyz, mask, c)
         if not bool(reg.accepted):
@@ -516,12 +530,12 @@ class System:
         )
         self.template = regen.template
         self.template_ref_kf = slot
-        self.nodes_anchor = regen.template.nodes
 
         # CreateNewMapPoints as one fused device update
         new_points, pid_row_new = mapper.rebuild_points(
             self.points, regen, pose, self.K, pid_row,
             self.kfs.kp_valid[slot], self.kfs.desc[slot],
+            self.kfs.angle[slot],
             jnp.asarray(slot, jnp.int32), self.dom, c,
         )
         self.points = new_points
@@ -551,9 +565,6 @@ class System:
             for field_name, arr in zip(self.template._fields, self.template):
                 arrays[f"tmpl_{field_name}"] = np.asarray(arr)
         arrays["pose"] = np.asarray(self.pose)
-        arrays["nodes_anchor"] = np.asarray(
-            self.nodes_anchor if self.nodes_anchor is not None else np.zeros((0, 3))
-        )
         arrays["meta"] = np.asarray(
             [self.frame_id, self.frames_since_kf, self.template_ref_kf,
              self.state.value]
@@ -574,8 +585,6 @@ class System:
                 *[jnp.asarray(data[f"tmpl_{f}"]) for f in meshmod.Template._fields]
             )
         self.pose = jnp.asarray(data["pose"])
-        na = data["nodes_anchor"]
-        self.nodes_anchor = jnp.asarray(na) if na.size else None
         meta = data["meta"]
         self.frame_id = int(meta[0])
         self.frames_since_kf = int(meta[1])

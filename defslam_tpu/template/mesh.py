@@ -19,11 +19,19 @@ TPU re-design decisions:
   done in the 2D retina parameterization: facet lookup is closed-form
   (which grid cell, which diagonal side) — O(1) per point, branchless,
   exact for on-surface points.
-- The Laplacian (mean-curvature) term uses uniform ring weights and a
-  rotation-invariant magnitude target |L x| - |L x_rest| (the reference
-  stores per-ring weights and rest curvatures, LaplacianMesh.cc:151-213;
-  the invariant scalar form preserves curvature without penalizing rigid
-  motion, which is the role the term plays in the SfT energy).
+- The Laplacian (mean-curvature) term reproduces the reference's
+  LaplacianMesh semantics (LaplacianMesh.cc:53-148): per-neighbor
+  mean-value weights  w_ij = (tan(|th1|/2) + tan(|th2|/2)) / |Ni - Nj|
+  computed from the two common neighbors of (i, j), frozen at template
+  creation; the rest mean-curvature magnitude |Ni - sum w Nj / sum w| is
+  the residual target.  Boundary nodes (the reference marks a neighbor
+  boundary when it shares only one common neighbor, LaplacianMesh.cc:88-92)
+  carry no curvature residual.
+- The reference adds one EdgeMeanCurvature residual per incident edge of a
+  node, each scaled by 1/rest_edge_length (sft_types.h:289-291 divides the
+  error by lenghtEdge_).  The d duplicated residuals are algebraically one
+  residual with weight sqrt(sum_e 1/len_e^2) — stored per node as
+  ``curv_scale``.
 """
 
 from __future__ import annotations
@@ -44,6 +52,12 @@ class MeshTopology(NamedTuple):
     edges: np.ndarray  # (E, 2) int32 unique undirected edges
     ring: np.ndarray  # (M, MAX_RING) int32 neighbor ids (padded with 0)
     ring_mask: np.ndarray  # (M, MAX_RING) bool
+    # the two common neighbors of (i, ring[i, k]) — inputs of the mean-value
+    # weight formula (LaplacianMesh.cc:75-115 "Recover neighbours j+1/j-1")
+    pair1: np.ndarray  # (M, MAX_RING) int32
+    pair2: np.ndarray  # (M, MAX_RING) int32
+    pair_ok: np.ndarray  # (M, MAX_RING) bool — both common neighbors exist
+    boundary: np.ndarray  # (M,) bool — reference setBoundary rule
     nodes_u: int
     nodes_v: int
 
@@ -55,6 +69,10 @@ class Template(NamedTuple):
     nodes_rest: jnp.ndarray  # (M, 3) rest shape (at template creation)
     rest_len: jnp.ndarray  # (E,) rest edge lengths
     lap_rest: jnp.ndarray  # (M,) rest |mean curvature| magnitudes
+    lap_w: jnp.ndarray  # (M, MAX_RING) mean-value weights at rest
+    curv_scale: jnp.ndarray  # (M,) sqrt(sum_e 1/rest_len_e^2) per node
+    interior: jnp.ndarray  # (M,) bool — curvature residual applies
+    mean_edge: jnp.ndarray  # () median rest edge length (getEdgeMeanSize)
     valid: jnp.ndarray  # () bool — is there an active template?
 
 
@@ -88,11 +106,31 @@ def grid_topology(nodes_u: int, nodes_v: int) -> MeshTopology:
         assert len(nbrs) <= MAX_RING
         ring[i, : len(nbrs)] = nbrs
         mask[i, : len(nbrs)] = True
+    # common-neighbor pairs + boundary flags, reference rule
+    # (LaplacianMesh.cc:75-95: 0 common -> bad, 1 -> neighbor is boundary,
+    #  2 -> the (j+1, j-1) pair entering the mean-value weight)
+    adj = [set(nbrs) for nbrs in ring_lists]
+    pair1 = np.zeros((m, MAX_RING), np.int32)
+    pair2 = np.zeros((m, MAX_RING), np.int32)
+    pair_ok = np.zeros((m, MAX_RING), bool)
+    boundary = np.zeros(m, bool)
+    for i, nbrs in enumerate(ring_lists):
+        for k, j in enumerate(nbrs):
+            common = sorted(adj[i] & adj[j])
+            if len(common) >= 2:
+                pair1[i, k], pair2[i, k] = common[0], common[1]
+                pair_ok[i, k] = True
+            elif len(common) == 1:
+                boundary[j] = True
     return MeshTopology(
         faces=faces,
         edges=edges,
         ring=ring,
         ring_mask=mask,
+        pair1=pair1,
+        pair2=pair2,
+        pair_ok=pair_ok,
+        boundary=boundary,
         nodes_u=nodes_u,
         nodes_v=nodes_v,
     )
@@ -107,6 +145,46 @@ def laplacian(nodes: jnp.ndarray, topo: MeshTopology) -> jnp.ndarray:
     return nodes - mean
 
 
+def mean_value_weights(nodes: jnp.ndarray, topo: MeshTopology) -> jnp.ndarray:
+    """Per-neighbor mean-value weights at the given geometry, (M, MAX_RING).
+
+    w_ij = (tan(|th1|/2) + tan(|th2|/2)) / |Ni - Nj| with th{1,2} the angle
+    at Ni between (Nj - Ni) and (Njpm - Ni) for the two common neighbors
+    Njp/Njm of the pair — exactly LaplacianMesh.cc:96-115 (which computes
+    tan(|atan(cross/dot)|/2); atan2(|cross|, |dot|) is the same angle,
+    division-free).  Entries without two common neighbors get weight 0.
+    """
+    ring = jnp.asarray(topo.ring)
+    ok = jnp.asarray(topo.pair_ok)
+    ni = nodes[:, None, :]  # (M, 1, 3)
+    nj = nodes[ring]  # (M, R, 3)
+    e_j = nj - ni
+
+    def half_tan(other_ids):
+        e_o = nodes[other_ids] - ni  # (M, R, 3)
+        cross = jnp.linalg.norm(jnp.cross(e_o, e_j), axis=-1)
+        dot = jnp.sum(e_o * e_j, axis=-1)
+        theta = jnp.arctan2(cross, jnp.abs(dot))
+        return jnp.tan(0.5 * theta)
+
+    t1 = half_tan(jnp.asarray(topo.pair1))
+    t2 = half_tan(jnp.asarray(topo.pair2))
+    dist = jnp.linalg.norm(e_j, axis=-1)
+    w = (t1 + t2) / jnp.maximum(dist, 1e-12)
+    return jnp.where(ok & jnp.asarray(topo.ring_mask), w, 0.0)
+
+
+def weighted_laplacian(
+    nodes: jnp.ndarray, topo: MeshTopology, w: jnp.ndarray
+) -> jnp.ndarray:
+    """delta_i = x_i - sum_j w_ij x_j / sum_j w_ij  (LaplacianMesh.cc:119-147),
+    (M, 3).  Zero-weight rows (boundary) return x_i - x_i = 0 via the guard."""
+    ring = jnp.asarray(topo.ring)
+    sw = jnp.sum(w, axis=1)
+    zc = jnp.einsum("mr,mrd->md", w, nodes[ring]) / jnp.maximum(sw, 1e-12)[:, None]
+    return jnp.where((sw > 1e-12)[:, None], nodes - zc, 0.0)
+
+
 def edge_lengths(nodes: jnp.ndarray, topo: MeshTopology) -> jnp.ndarray:
     e = jnp.asarray(topo.edges)
     d = nodes[e[:, 0]] - nodes[e[:, 1]]
@@ -114,13 +192,30 @@ def edge_lengths(nodes: jnp.ndarray, topo: MeshTopology) -> jnp.ndarray:
 
 
 def make_template(nodes: jnp.ndarray, topo: MeshTopology) -> Template:
-    """Freeze the current node positions as the rest shape."""
-    lap = laplacian(nodes, topo)
+    """Freeze the current node positions as the rest shape: mean-value
+    weights, rest curvature magnitudes, per-node curvature edge scale and
+    the median edge length (Template::getEdgeMeanSize, Template.cc:158-173)
+    are all rest-state quantities (LaplacianMesh::ExtractMeanCurvatures)."""
+    w = mean_value_weights(nodes, topo)
+    lap = weighted_laplacian(nodes, topo, w)
+    rest_len = edge_lengths(nodes, topo)
+    # per-node sqrt(sum over incident edges of 1/len^2): folds the
+    # reference's per-incident-edge duplication of EdgeMeanCurvature
+    # (DefOptimizer.cc:420-462) into one residual per node
+    ring_len = jnp.linalg.norm(nodes[jnp.asarray(topo.ring)] - nodes[:, None, :], axis=-1)
+    inv_l2 = jnp.where(
+        jnp.asarray(topo.ring_mask), 1.0 / jnp.maximum(ring_len, 1e-12) ** 2, 0.0
+    )
+    interior = ~jnp.asarray(topo.boundary)
     return Template(
         nodes=nodes,
         nodes_rest=nodes,
-        rest_len=edge_lengths(nodes, topo),
+        rest_len=rest_len,
         lap_rest=jnp.linalg.norm(lap, axis=-1),
+        lap_w=w,
+        curv_scale=jnp.sqrt(jnp.sum(inv_l2, axis=1)),
+        interior=interior,
+        mean_edge=jnp.median(rest_len),
         valid=jnp.asarray(True),
     )
 

@@ -69,6 +69,11 @@ def match_points_to_frame(
         nn_ratio=cfg.tracking.nn_ratio,
         mutual=True,
     )
+    # rotation-consistency histogram: point angle = the matched keypoint's
+    # angle from the previous frame (LastFrame semantics of
+    # DefORBmatcher::SearchByProjection + ComputeThreeMaxima,
+    # DefORBmatcher.cc:304-443)
+    m = matching.rotation_consistency(points.angle, feats.angle, m)
     return FrameMatches(
         kp_of_point=m.idx,
         dist=m.dist,
@@ -81,10 +86,7 @@ def sft_track(
     points: PointStore,
     matches: FrameMatches,
     feats: Features,
-    nodes: jnp.ndarray,
-    nodes_anchor: jnp.ndarray,
-    rest_len: jnp.ndarray,
-    lap_rest: jnp.ndarray,
+    tmpl: meshmod.Template,
     pose0: jnp.ndarray,
     K: jnp.ndarray,
     cfg: Config,
@@ -94,25 +96,22 @@ def sft_track(
 
     Observation rows are the P map-point slots (static shape); unmatched or
     invalid slots are masked out.  Per-observation information is the
-    pyramid-level invSigma2 (1/1.2^(2 lv)) like g2o's setInformation."""
+    pyramid-level invSigma2 (1/1.2^(2 lv)) like g2o's setInformation,
+    normalized by the frame's keypoint count (DefOptimizer.cc:276, 340)."""
     topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
     kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
     obs_uv = feats.xy[kp]
     lv = feats.level[kp].astype(jnp.float32)
     inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * lv))
     mask = (matches.kp_of_point >= 0) & points.valid & (points.facet >= 0)
-    data = sft.SfTData(
-        K=K,
-        T0=pose0,
-        nodes0=nodes,
-        nodes_anchor=nodes_anchor,
-        rest_len=rest_len,
-        lap_rest=lap_rest,
+    data = sft.data_from_template(
+        tmpl, K, pose0,
         obs_uv=obs_uv,
         obs_face=points.facet,
         obs_bary=points.bary,
         obs_invsigma2=inv_sigma2,
         obs_mask=mask,
+        n_kp=jnp.sum(feats.valid).astype(jnp.float32),
     )
     return sft.solve(data, topo, cfg, reg_temp=reg_temp)
 
@@ -122,10 +121,7 @@ def track_frame(
     img: jnp.ndarray,
     points: PointStore,
     pose: jnp.ndarray,
-    nodes: jnp.ndarray,
-    nodes_anchor: jnp.ndarray,
-    rest_len: jnp.ndarray,
-    lap_rest: jnp.ndarray,
+    tmpl: meshmod.Template,
     K: jnp.ndarray,
     cfg: Config,
     window_scale: float = 1.0,
@@ -145,11 +141,16 @@ def track_frame(
         points, pose, K, feats, cfg,
         window=window_scale * cfg.tracking.projection_window,
     )
-    res = sft_track(
-        points, matches, feats, nodes, nodes_anchor, rest_len, lap_rest,
-        pose, K, cfg,
-    )
+    res = sft_track(points, matches, feats, tmpl, pose, K, cfg)
     new_points = _reposition(points, res.nodes, cfg)
+    # refresh per-point angles from the matched frame keypoints so the next
+    # frame's rotation histogram compares against THIS frame (LastFrame)
+    kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
+    new_points = new_points._replace(
+        angle=jnp.where(
+            matches.kp_of_point >= 0, feats.angle[kp], new_points.angle
+        )
+    )
     stats = jnp.stack(
         [matches.n_matches, jnp.sum(res.inlier).astype(jnp.int32)]
     )

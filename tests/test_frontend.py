@@ -119,3 +119,49 @@ def test_rotation_consistency_filter():
     kept = np.asarray(m2.idx) >= 0
     assert kept[10:].mean() > 0.95  # consistent ones survive
     assert kept[:10].mean() < 0.6  # most junk dropped
+
+
+def test_undistort_points_roundtrip():
+    """undistort(distort(x)) == x for the OpenCV radial-tangential model
+    (Frame::UndistortKeyPoints parity)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from defslam_tpu.geometry import camera as cam
+
+    K = jnp.asarray([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1.0]])
+    dist = (-0.28, 0.07, 1e-4, -2e-4, 0.0)  # Hamlyn-ish coefficients
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(
+        np.stack([rng.uniform(20, 300, 200), rng.uniform(20, 220, 200)], 1),
+        jnp.float32,
+    )
+    distorted = cam.distort_points(K, dist, uv)
+    recovered = cam.undistort_points(K, dist, distorted)
+    np.testing.assert_allclose(np.asarray(recovered), np.asarray(uv), atol=0.02)
+    # zero coefficients -> exact identity
+    same = cam.undistort_points(K, (0.0,) * 5, uv)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(uv), atol=1e-5)
+
+
+def test_frontend_applies_undistortion():
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from defslam_tpu.config import CameraConfig, Config, OrbConfig
+    from defslam_tpu.frontend import extract_features
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, (120, 160)).astype(np.float32))
+    base = Config(
+        camera=CameraConfig(width=160, height=120, fx=120, fy=120, cx=80, cy=60),
+        orb=OrbConfig(n_features=100, n_levels=2, max_keypoints=128),
+    )
+    warped_cam = dataclasses.replace(base.camera, k1=-0.2)
+    f0 = extract_features(img, base)
+    f1 = extract_features(img, dataclasses.replace(base, camera=warped_cam))
+    xy0 = np.asarray(f0.xy)[np.asarray(f0.valid)]
+    xy1 = np.asarray(f1.xy)[np.asarray(f1.valid)]
+    assert xy0.shape == xy1.shape
+    # same detections, shifted coordinates (away from the center for k1<0)
+    d = np.linalg.norm(xy0 - xy1, axis=1)
+    assert d.max() > 0.5, "undistortion had no effect"

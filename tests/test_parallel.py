@@ -89,11 +89,9 @@ def test_sharded_sft_solves():
     T_true = se3.se3_exp(jnp.asarray([0.01, -0.01, 0.02, 0.008, -0.01, 0.004]))
     pts_true = meshmod.facet_positions(nodes_true, topo, facet, bary)
     obs = cam.project(K, se3.transform(T_true, pts_true))
-    data = sft.SfTData(
-        K=K, T0=jnp.eye(4), nodes0=tmpl.nodes_rest,
-        nodes_anchor=tmpl.nodes_rest, rest_len=tmpl.rest_len,
-        lap_rest=tmpl.lap_rest, obs_uv=obs, obs_face=facet, obs_bary=bary,
-        obs_invsigma2=jnp.ones(n), obs_mask=jnp.ones(n, bool),
+    data = sft.data_from_template(
+        tmpl, K, jnp.eye(4), obs_uv=obs, obs_face=facet, obs_bary=bary,
+        obs_invsigma2=jnp.ones(n), obs_mask=jnp.ones(n, bool), n_kp=float(n),
     )
     mesh = sharded.make_mesh()
     T, nodes = sharded.sft_solve_sharded(mesh, data, cfg)
@@ -102,3 +100,38 @@ def test_sharded_sft_solves():
     pc_true = np.asarray(se3.transform(T_true, pts_true))
     err = np.linalg.norm(pc_est - pc_true, axis=1)
     assert np.median(err) < 0.03, f"sharded SfT median error {np.median(err):.4f}"
+
+
+def test_sharded_sft_matches_single_chip():
+    """The distributed solver must take the SAME update sequence as
+    sft.solve (psum reduction order is the only numerical difference)."""
+    cfg = Config(sft=SfTConfig(lm_iterations=15))
+    topo = meshmod.grid_topology(10, 10)
+    DOM = jnp.asarray([-0.4, 0.4, -0.3, 0.3])
+    K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    nodes_rest = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, jnp.ones_like(u)], axis=-1), DOM, topo
+    )
+    tmpl = meshmod.make_template(nodes_rest, topo)
+    rng = np.random.default_rng(5)
+    n = 128
+    uvp = np.stack(
+        [rng.uniform(-0.38, 0.38, n), rng.uniform(-0.28, 0.28, n)], 1
+    ).astype(np.float32)
+    facet, bary, _ = meshmod.embed_uv(jnp.asarray(uvp), DOM, topo)
+    pts = meshmod.facet_positions(nodes_rest, topo, facet, bary)
+    obs = cam.project(K, pts) + jnp.asarray(
+        rng.normal(0, 1.0, (n, 2)), jnp.float32
+    )
+    mask = jnp.asarray(rng.uniform(size=n) > 0.1)
+    data = sft.data_from_template(
+        tmpl, K, jnp.eye(4), obs_uv=obs, obs_face=facet, obs_bary=bary,
+        obs_invsigma2=jnp.ones(n), obs_mask=mask, n_kp=float(n),
+    )
+    ref = sft.solve(data, topo, cfg)
+    mesh = sharded.make_mesh()
+    T, nodes = sharded.sft_solve_sharded(mesh, data, cfg)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref.T), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(nodes), np.asarray(ref.nodes), atol=1e-4
+    )

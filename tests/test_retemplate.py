@@ -64,3 +64,48 @@ def test_new_points_created(tracked):
 def test_surfaces_estimated(tracked):
     sys_, _ = tracked
     assert int(np.asarray(sys_.kfs.surf_valid).sum()) >= 1
+
+
+def test_exploration_count_mask():
+    """needNewTemplate's dilated-occupancy count (DefLocalMapping.cc:355-404):
+    unmatched keypoints NEAR matched ones are inside the dilated mask and do
+    not count; far ones do."""
+    import jax.numpy as jnp
+    import numpy as np
+    from defslam_tpu.config import CameraConfig, Config
+    from defslam_tpu.mapping import mapper
+
+    cfg = Config(camera=CameraConfig(width=200, height=100))
+    # 3 matched keypoints on the left side; kernel = 200//20 = 10 px
+    xy = jnp.asarray(
+        [[20.0, 50.0], [30.0, 50.0], [40.0, 50.0],
+         [24.0, 52.0],    # unmatched, inside dilation -> not counted
+         [150.0, 50.0], [180.0, 20.0]],  # unmatched, far -> counted
+        jnp.float32,
+    )
+    valid = jnp.ones(6, bool)
+    pid = jnp.asarray([1, 2, 3, -1, -1, -1], jnp.int32)
+    n = int(mapper.exploration_count(xy, valid, pid, cfg))
+    assert n == 2, f"expected 2 exploration points, got {n}"
+
+
+def test_select_ref_keyframe_votes():
+    """selectKeyframe (DefLocalMapping.cc:411-441): the keyframe that
+    created the most currently-observed points wins."""
+    import jax.numpy as jnp
+    from defslam_tpu.mapping import mapper
+
+    pid_row = jnp.asarray([0, 1, 2, 3, -1, -1], jnp.int32)
+    point_ref_kf = jnp.asarray([2, 2, 2, 1, 0, 0], jnp.int32)
+    point_valid = jnp.ones(6, bool)
+    kf_valid = jnp.asarray([True, True, True, False], bool)
+    slot = jnp.asarray(3, jnp.int32)
+    sel = int(mapper.select_ref_keyframe(
+        pid_row, point_ref_kf, point_valid, kf_valid, slot
+    ))
+    assert sel == 2
+    # no votes -> fall back to the new keyframe
+    sel2 = int(mapper.select_ref_keyframe(
+        jnp.full(6, -1, jnp.int32), point_ref_kf, point_valid, kf_valid, slot
+    ))
+    assert sel2 == 3
