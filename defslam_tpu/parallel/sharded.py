@@ -11,12 +11,12 @@ story:
   beyond the final gather.  This parallelizes the reference's dominant
   mapping cost (serial per-point Ceres loops, NormalEstimator.cc:49-226).
 - **Solver-parallel SfT** ("dp" axis over observations): a shard_map'd
-  Gauss-Newton where every device computes the residuals/Jacobian of its
-  observation shard, the normal equations are `psum`'d over ICI, and the
-  (tiny, replicated) damped solve + state update happen on every device —
-  the block-partitioned GN with collective reductions sketched in SURVEY
-  5.7.  Regularizer terms are scaled by 1/n_shards so their psum
-  contributes exactly once.
+  Levenberg-Marquardt where every device assembles its observation shard's
+  normal-equation blocks (sft.obs_normal_eq), the blocks are `psum`'d over
+  ICI, regularizer terms are evaluated replicated (outside the psum), and
+  the tiny damped solve + accept/reject state update happen identically on
+  every device — the block-partitioned GN with collective reductions
+  sketched in SURVEY 5.7.
 
 All entry points work identically on a real TPU pod slice and on the
 virtual CPU mesh used by tests/dryruns
@@ -38,7 +38,6 @@ from defslam_tpu.mapping import mapper
 from defslam_tpu.mapping import normals as nrm
 from defslam_tpu.template import mesh as meshmod
 from defslam_tpu.tracking import sft as sftmod
-from defslam_tpu.utils import HIGHEST
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -108,8 +107,8 @@ def sft_solve_sharded(
     blocks, Marquardt damping, accept/reject, LocalZone masking) with the
     observation rows sharded over the "dp" mesh axis.
 
-    Each device evaluates its observation shard's residuals + Jacobian rows
-    (``sft.obs_forward``), the weighted normal-equation contributions are
+    Each device assembles its observation shard's normal-equation blocks
+    (``sft.obs_normal_eq``), the weighted contributions are
     ``psum``'d over ICI, the regularizer rows (observation-independent) are
     evaluated replicated, and the tiny damped 306-parameter solve + the
     accept/reject decision run identically on every device.  Bitwise the
@@ -122,7 +121,6 @@ def sft_solve_sharded(
     n_dev = mesh.devices.size
     iters = num_iters or c.sft.lm_iterations
     m = data.nodes0.shape[0]
-    n_params = 6 + 3 * m
     topo = meshmod.grid_topology(c.mesh.nodes_u, c.mesh.nodes_v)
     n_obs_total = data.obs_uv.shape[0]
     assert n_obs_total % n_dev == 0, "pad observations to the mesh size"
@@ -140,22 +138,15 @@ def sft_solve_sharded(
         obs_invsigma2=P("dp"), obs_mask=P("dp"), n_kp=P(),
     )
     pre_specs = sftmod._Pre(
-        fcorners=P("dp"), onehot_f=P("dp"), ringx=P(), onehot_r=P(),
-        e0=P(), e1=P(), onehot_e=P(), viewed=P(), optlap=P(),
+        fcorners=P("dp"), fid=P("dp"), ringx=P(),
+        e0=P(), e1=P(), viewed=P(), optlap=P(),
         w_obs_base=P("dp"), c_lap=P(), c_edge=P(), c_temp=P(),
         col_free=P(), sw=P(),
     )
     data_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), data, data_specs)
     pre_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), pre, pre_specs)
-    pin = 1.0 - pre.col_free
-
-    sqrt_nkp = float(np.sqrt(max(float(data.n_kp), 1.0)))
-
-    def hub(r_o):
-        # same sqrt(N)-rescaled Huber knee as sft.solve
-        rb = r_o.reshape(-1, 2)
-        nrm = jnp.sqrt(jnp.sum(rb * rb, axis=-1) + 1e-12) * sqrt_nkp
-        return jnp.repeat(jnp.minimum(1.0, delta_h / nrm), 2)
+    faces = jnp.asarray(topo.faces)
+    n_faces = topo.faces.shape[0]
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(data_specs, pre_specs),
@@ -163,10 +154,10 @@ def sft_solve_sharded(
     )
     def run(d, p):
         def cost_at(T, nodes):
-            r_o, _ = sftmod.obs_forward(T, nodes, d, p, False)
-            c_o = jax.lax.psum(0.5 * jnp.sum(hub(r_o) * r_o * r_o), "dp")
-            r_r, _ = sftmod.reg_forward(nodes, d, p, False)
-            return c_o + 0.5 * jnp.sum(r_r * r_r)
+            c_o = jax.lax.psum(
+                sftmod.obs_cost(T, nodes, d, p, delta_h), "dp"
+            )
+            return c_o + sftmod.reg_cost(nodes, d, p)
 
         def cond(carry):
             T, nodes, lam, cost, i, done = carry
@@ -174,18 +165,19 @@ def sft_solve_sharded(
 
         def body(carry):
             T, nodes, lam, cost, i, _ = carry
-            r_o, J_o = sftmod.obs_forward(T, nodes, d, p, True)
-            w = hub(r_o)
-            H = jax.lax.psum(
-                jnp.einsum("ri,r,rj->ij", J_o, w, J_o, precision=HIGHEST), "dp"
+            # block normal equations: each device assembles its observation
+            # shard's contribution (sft.obs_normal_eq), the six outputs are
+            # psum'd over ICI, regularizers are evaluated replicated —
+            # identical update math to the single-chip sft.solve
+            blocks = sftmod.obs_normal_eq(
+                T, nodes, d, p, delta_h, faces, n_faces
             )
-            g = jax.lax.psum(
-                jnp.einsum("ri,r->i", J_o, w * r_o, precision=HIGHEST), "dp"
+            H_cc, H_cn, H_nn_o, g_c, g_n_o, _ = jax.lax.psum(blocks, "dp")
+            H_nn_r, g_n_r, _ = sftmod.reg_normal_eq(nodes, d, p)
+            H, g = sftmod.dense_system(
+                H_cc, H_cn, H_nn_o + H_nn_r, g_c, g_n_o + g_n_r, p
             )
-            r_r, J_r = sftmod.reg_forward(nodes, d, p, True)
-            H = H + jnp.einsum("ri,rj->ij", J_r, J_r, precision=HIGHEST)
-            g = g + jnp.einsum("ri,r->i", J_r, r_r, precision=HIGHEST)
-            H = H + jnp.diag(pin)
+            # fixed coords already carry a unit diagonal (dense_system)
             A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
             L = jnp.linalg.cholesky(A)
             dx = -jax.scipy.linalg.cho_solve((L, True), g)

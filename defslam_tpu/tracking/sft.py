@@ -25,14 +25,22 @@ Energy terms and weights match the reference:
   neighbors are free (setMeshNodes fixes all, OptLap un-fixes,
   DefOptimizer.cc:388-406 + 926-953); everything else stays put.
 
-Solver re-design: one flat unknown vector x = [xi(6) | dnodes(3M)] (camera
-in the se(3) tangent at the current estimate, nodes as displacements), and
-a Levenberg-Marquardt loop whose normal equations are assembled from
-ANALYTIC per-block Jacobians stacked into one dense (R, 6+3M) matrix — the
-306-parameter J^T W J is a single MXU matmul per iteration, replacing the
-round-1 jacfwd (306 forward passes of the whole residual stack, the frame
-hot-spot).  Jacobian formulas mirror the reference's linearizeOplus
-implementations (sft_types.h:137-206, 296-315, 364-377, 408).
+Solver re-design (second iteration): the normal equations H dx = -g are
+assembled DIRECTLY from analytic per-term blocks — no dense Jacobian is ever
+materialized.  Each observation contributes a (2,6) camera block and one
+(2,3) block per facet corner; their products are reduced per *facet* with
+one ``segment_sum`` (the facet id is the natural small segment space) and
+the per-facet blocks land in the (M,M,3,3) node Hessian through STATIC
+face-topology indices.  Curvature/edge/temporal terms scatter through the
+equally static ring/edge index tables.  The result is a dense
+(6+3M, 6+3M) system (tiny at M=100) solved by Cholesky per LM iteration.
+Compared to the round-1 design (stack a dense (R, 6+3M) Jacobian, one big
+J^T W J matmul) this cuts the per-iteration device time ~3x: the Jacobian
+row space was 97% structural zeros and HBM traffic, while the block
+assembly touches only the nonzeros.  Jacobian formulas mirror the
+reference's linearizeOplus implementations (sft_types.h:137-206, 296-315,
+364-377, 408); the dense-J path survives as :func:`assemble` purely as the
+autodiff cross-check seam for tests.
 
 Deliberate deviation from the reference: the final outlier gate here uses
 the UN-normalized chi2 = err_px^2 * invSigma2 vs 5.991 (a ~2.4 px gate);
@@ -125,15 +133,13 @@ def data_from_template(
 
 
 class _Pre(NamedTuple):
-    """Per-solve constants (masks, one-hots, folded weights)."""
+    """Per-solve constants (masks, index tables, folded weights)."""
 
     fcorners: jnp.ndarray  # (N, 3) node ids of each observation's facet
-    onehot_f: jnp.ndarray  # (N, 3, M)
+    fid: jnp.ndarray  # (N,) facet id, F for masked observations
     ringx: jnp.ndarray  # (M, 1+R) [self | ring]
-    onehot_r: jnp.ndarray  # (M, 1+R, M)
     e0: jnp.ndarray  # (E,)
     e1: jnp.ndarray
-    onehot_e: jnp.ndarray  # (E, 2, M)
     viewed: jnp.ndarray  # (M,) bool
     optlap: jnp.ndarray  # (M,) bool — free nodes
     w_obs_base: jnp.ndarray  # (N,)
@@ -152,8 +158,14 @@ def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
     ring = jnp.asarray(topo.ring)
     ring_mask = jnp.asarray(topo.ring_mask)
     edges = jnp.asarray(topo.edges)
+    n_faces = topo.faces.shape[0]
 
-    fcorners = faces[jnp.clip(data.obs_face, 0, faces.shape[0] - 1)]  # (N,3)
+    fcorners = faces[jnp.clip(data.obs_face, 0, n_faces - 1)]  # (N,3)
+    fid = jnp.where(
+        data.obs_mask & (data.obs_face >= 0),
+        jnp.clip(data.obs_face, 0, n_faces - 1),
+        n_faces,
+    )
     touched = jnp.zeros(m, jnp.int32).at[fcorners.reshape(-1)].add(
         jnp.repeat(data.obs_mask.astype(jnp.int32), 3)
     )
@@ -180,21 +192,16 @@ def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
         * data.obs_mask
     )
     ar = jnp.arange(m)
-    onehot_f = (fcorners[:, :, None] == ar).astype(jnp.float32)
     ringx = jnp.concatenate([ar[:, None], ring], axis=1)  # (M, 1+R)
-    onehot_r = (ringx[:, :, None] == ar).astype(jnp.float32)
-    onehot_e = (edges[:, :, None] == ar).astype(jnp.float32)
     col_free = jnp.concatenate(
         [jnp.ones(6), jnp.repeat(optlap.astype(jnp.float32), 3)]
     )
     return _Pre(
         fcorners=fcorners,
-        onehot_f=onehot_f,
+        fid=fid,
         ringx=ringx,
-        onehot_r=onehot_r,
         e0=e0,
         e1=e1,
-        onehot_e=onehot_e,
         viewed=viewed,
         optlap=optlap,
         w_obs_base=w_obs_base,
@@ -206,12 +213,141 @@ def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
     )
 
 
+# ------------------------------------------------- block normal equations --
+
+
+def obs_cost(T, nodes, data: SfTData, pre: _Pre, huber_delta: float):
+    """Robust observation cost at (T, nodes) — the accept-test half of an LM
+    iteration (no Jacobians)."""
+    p = jnp.einsum("nk,nkd->nd", data.obs_bary, nodes[pre.fcorners])
+    pc = se3.transform(T, p)
+    z = pc[:, 2]
+    front = z > 1e-6
+    zs = jnp.where(front, z, 1.0)
+    fx, fy = data.K[0, 0], data.K[1, 1]
+    u = fx * pc[:, 0] / zs + data.K[0, 2]
+    v = fy * pc[:, 1] / zs + data.K[1, 2]
+    w_o = pre.w_obs_base * front
+    r2 = (jnp.stack([u, v], axis=-1) - data.obs_uv) * w_o[:, None]
+    nrm = jnp.sqrt(jnp.sum(r2 * r2, axis=-1) + 1e-12) * jnp.sqrt(
+        jnp.maximum(data.n_kp, 1.0)
+    )
+    hub = jnp.minimum(1.0, huber_delta / nrm)
+    return 0.5 * jnp.sum(hub * jnp.sum(r2 * r2, axis=-1))
+
+
+def reg_terms(nodes, data: SfTData, pre: _Pre):
+    """Regularizer residuals + analytic blocks (shared by cost and normal
+    equations; observation-independent, evaluated replicated when sharded).
+
+    Returns (r_curv (M,), Jc (M,1+R,3), r_edge (E,), Je (E,2,3),
+    r_temp (M,3), tw (M,))."""
+    m = nodes.shape[0]
+    zc = jnp.einsum(
+        "mr,mrd->md", data.lap_w, nodes[pre.ringx[:, 1:]]
+    ) / pre.sw[:, None]
+    dvec = nodes - zc
+    dn = jnp.linalg.norm(dvec, axis=-1)
+    r_curv = pre.c_lap * (dn - data.lap_rest)
+    jfac = jnp.where(dn > 1e-15, 1.0 / jnp.maximum(dn, 1e-15), 0.0)
+    dhat = dvec * jfac[:, None]
+    coef = jnp.concatenate(
+        [jnp.ones((m, 1)), -(data.lap_w / pre.sw[:, None])], axis=1
+    )  # (M, 1+R)
+    Jc = (pre.c_lap[:, None] * coef)[:, :, None] * dhat[:, None, :]
+
+    dv_e = nodes[pre.e0] - nodes[pre.e1]
+    ln = jnp.linalg.norm(dv_e, axis=-1)
+    r_edge = pre.c_edge * (ln / data.rest_len - 1.0)
+    ue = dv_e * (
+        pre.c_edge / (jnp.maximum(ln, 1e-12) * data.rest_len)
+    )[:, None]
+    Je = jnp.stack([ue, -ue], axis=1)  # (E, 2, 3)
+
+    tw = pre.c_temp * pre.viewed.astype(jnp.float32)  # (M,)
+    r_temp = tw[:, None] * (nodes - data.nodes_rest)  # (M, 3)
+    return r_curv, Jc, r_edge, Je, r_temp, tw
+
+
+def reg_cost(nodes, data: SfTData, pre: _Pre):
+    r_curv, _, r_edge, _, r_temp, _ = reg_terms(nodes, data, pre)
+    return 0.5 * (
+        jnp.sum(r_curv * r_curv) + jnp.sum(r_edge * r_edge)
+        + jnp.sum(r_temp * r_temp)
+    )
+
+
+def reg_normal_eq(nodes, data: SfTData, pre: _Pre):
+    """Regularizer contribution: (H_nn (M,M,3,3), g_n (M,3), cost ())."""
+    m = nodes.shape[0]
+    r_curv, Jc, r_edge, Je, r_temp, tw = reg_terms(nodes, data, pre)
+
+    cpair = (pre.ringx[:, :, None] * m + pre.ringx[:, None, :]).reshape(-1)
+    cH = (Jc[:, :, None, :, None] * Jc[:, None, :, None, :]).reshape(-1, 9)
+    H_nn = jax.ops.segment_sum(cH, cpair, num_segments=m * m).reshape(
+        m, m, 3, 3
+    )
+    g_n = jax.ops.segment_sum(
+        (Jc * r_curv[:, None, None]).reshape(-1, 3),
+        pre.ringx.reshape(-1), num_segments=m,
+    )
+
+    ev = jnp.stack([pre.e0, pre.e1], axis=1)  # (E, 2)
+    epair = (ev[:, :, None] * m + ev[:, None, :]).reshape(-1)
+    eH = (Je[:, :, None, :, None] * Je[:, None, :, None, :]).reshape(-1, 9)
+    H_nn = H_nn + jax.ops.segment_sum(
+        eH, epair, num_segments=m * m
+    ).reshape(m, m, 3, 3)
+    g_n = g_n + jax.ops.segment_sum(
+        (Je * r_edge[:, None, None]).reshape(-1, 3),
+        ev.reshape(-1), num_segments=m,
+    )
+
+    diag = jnp.eye(m, dtype=nodes.dtype)[:, :, None, None] * jnp.eye(
+        3, dtype=nodes.dtype
+    )[None, None]
+    H_nn = H_nn + (tw ** 2)[:, None, None, None] * diag
+    g_n = g_n + tw[:, None] * r_temp
+    cost = 0.5 * (
+        jnp.sum(r_curv * r_curv) + jnp.sum(r_edge * r_edge)
+        + jnp.sum(r_temp * r_temp)
+    )
+    return H_nn, g_n, cost
+
+
+def dense_system(H_cc, H_cn, H_nn, g_c, g_n, pre: _Pre):
+    """Blocks -> pinned dense (6+3M, 6+3M) system.
+
+    Fixed (non-LocalZone) node coordinates get zeroed rows/columns and a
+    unit diagonal (g2o setFixed), exactly matching the col_free masking of
+    the dense-J path."""
+    m = g_n.shape[0]
+    nf = pre.optlap.astype(g_n.dtype)
+    H_nn = H_nn * nf[:, None, None, None] * nf[None, :, None, None]
+    diag = jnp.eye(m, dtype=g_n.dtype)[:, :, None, None] * jnp.eye(
+        3, dtype=g_n.dtype
+    )[None, None]
+    H_nn = H_nn + (1.0 - nf)[:, None, None, None] * diag
+    H_cn = H_cn * nf[:, None, None]
+    g_n = g_n * nf[:, None]
+
+    d = 6 + 3 * m
+    H = jnp.zeros((d, d), g_n.dtype)
+    H = H.at[:6, :6].set(H_cc)
+    Hcn = H_cn.transpose(1, 0, 2).reshape(6, 3 * m)
+    H = H.at[:6, 6:].set(Hcn).at[6:, :6].set(Hcn.T)
+    H = H.at[6:, 6:].set(H_nn.transpose(0, 2, 1, 3).reshape(3 * m, 3 * m))
+    g = jnp.concatenate([g_c, g_n.reshape(-1)])
+    return H, g
+
+
+# --------------------------------------------------- dense-J test seam -----
+
+
 def obs_forward(T, nodes, data: SfTData, pre: _Pre, with_jac: bool):
-    """Reprojection residuals (2N,) and optionally their Jacobian rows
-    (2N, 6+3M) with respect to the increment [dxi | dnodes] at the current
-    (T, nodes) linearization point (g2o linearizes each iteration at the
-    current vertex estimates; so does this solver).  Shardable over the
-    observation axis (the per-device body of the distributed solver)."""
+    """Reprojection residuals (2N,) and optionally dense Jacobian rows
+    (2N, 6+3M) — retained as the autodiff cross-check seam (tests) and NOT
+    used by the production solver (see obs_normal_eq)."""
     m = nodes.shape[0]
     n = data.obs_uv.shape[0]
     R = T[:3, :3]
@@ -243,8 +379,10 @@ def obs_forward(T, nodes, data: SfTData, pre: _Pre, with_jac: bool):
         [duv_dpc, -jnp.einsum("nai,nij->naj", duv_dpc, se3.hat(pc))], axis=-1
     )  # (N, 2, 6)
     B = jnp.einsum("nac,cd->nad", duv_dpc, R)  # (N, 2, 3) d uv / d p_world
+    ar = jnp.arange(m)
+    onehot_f = (pre.fcorners[:, :, None] == ar).astype(jnp.float32)
     J_obs_nodes = jnp.einsum(
-        "nac,nk,nkm->namc", B, data.obs_bary, pre.onehot_f
+        "nac,nk,nkm->namc", B, data.obs_bary, onehot_f
     )  # (N, 2, M, 3)
     J_obs = jnp.concatenate(
         [Jxi.reshape(2 * n, 6), J_obs_nodes.reshape(2 * n, 3 * m)], axis=1
@@ -254,63 +392,32 @@ def obs_forward(T, nodes, data: SfTData, pre: _Pre, with_jac: bool):
 
 def reg_forward(nodes, data: SfTData, pre: _Pre, with_jac: bool):
     """Regularizer residuals [M curvature | E edges | 3M temporal] and
-    optionally their Jacobian rows.  Independent of observations — the
-    distributed solver evaluates these replicated, outside the psum."""
+    optionally dense Jacobian rows (test seam)."""
     m = nodes.shape[0]
-
-    # --- curvature (mean-value weights, frozen)
-    zc = jnp.einsum(
-        "mr,mrd->md", data.lap_w, nodes[pre.ringx[:, 1:]]
-    ) / pre.sw[:, None]
-    dvec = nodes - zc
-    dn = jnp.linalg.norm(dvec, axis=-1)
-    r_curv = pre.c_lap * (dn - data.lap_rest)
-
-    # --- inextensibility
-    dv_e = nodes[pre.e0] - nodes[pre.e1]
-    ln = jnp.linalg.norm(dv_e, axis=-1)
-    r_edge = pre.c_edge * (ln / data.rest_len - 1.0)
-
-    # --- temporal anchor to rest shape, viewed nodes only
-    temp3 = jnp.repeat(pre.viewed.astype(jnp.float32), 3)
-    r_temp = pre.c_temp * temp3 * (nodes - data.nodes_rest).reshape(-1)
-
-    r = jnp.concatenate([r_curv, r_edge, r_temp])
+    r_curv, Jc, r_edge, Je, r_temp, tw = reg_terms(nodes, data, pre)
+    r = jnp.concatenate([r_curv, r_edge, r_temp.reshape(-1)])
     if not with_jac:
         return r, None
-
-    # curvature rows (sft_types.h:296-315: J = dhat for the center,
-    # -w_j/sum(w) * dhat for neighbors; zero when |curvature| ~ 0)
-    jfac = jnp.where(dn > 1e-15, 1.0 / jnp.maximum(dn, 1e-15), 0.0)
-    dhat = dvec * jfac[:, None]
-    coef = jnp.concatenate(
-        [jnp.ones((m, 1)), -(data.lap_w / pre.sw[:, None])], axis=1
-    )  # (M, 1+R)
-    Jc = (pre.c_lap[:, None] * coef)[:, :, None] * dhat[:, None, :]  # (M,1+R,3)
-    Jc_dense = jnp.einsum("mko,mkj->mjo", Jc, pre.onehot_r).reshape(m, 3 * m)
+    ar = jnp.arange(m)
+    onehot_r = (pre.ringx[:, :, None] == ar).astype(jnp.float32)
+    Jc_dense = jnp.einsum("mko,mkj->mjo", Jc, onehot_r).reshape(m, 3 * m)
     J_curv = jnp.concatenate([jnp.zeros((m, 6)), Jc_dense], axis=1)
 
-    # edge rows (sft_types.h:364-377)
-    ue = dv_e * (
-        pre.c_edge / (jnp.maximum(ln, 1e-12) * data.rest_len)
-    )[:, None]
-    Je = jnp.stack([ue, -ue], axis=1)  # (E, 2, 3)
-    Je_dense = jnp.einsum("eko,ekm->emo", Je, pre.onehot_e).reshape(-1, 3 * m)
+    edges = jnp.stack([pre.e0, pre.e1], axis=1)
+    onehot_e = (edges[:, :, None] == ar).astype(jnp.float32)
+    Je_dense = jnp.einsum("eko,ekm->emo", Je, onehot_e).reshape(-1, 3 * m)
     J_edge = jnp.concatenate(
         [jnp.zeros((Je_dense.shape[0], 6)), Je_dense], axis=1
     )
 
-    # temporal rows: diagonal identity (sft_types.h:408)
-    J_temp = jnp.concatenate(
-        [jnp.zeros((3 * m, 6)), jnp.diag(pre.c_temp * temp3)], axis=1
-    )
+    temp3 = jnp.repeat(tw, 3)
+    J_temp = jnp.concatenate([jnp.zeros((3 * m, 6)), jnp.diag(temp3)], axis=1)
     J = jnp.concatenate([J_curv, J_edge, J_temp], axis=0)
     return r, J * pre.col_free[None, :]
 
 
 def _forward(T, nodes, data: SfTData, pre: _Pre, with_jac: bool):
-    """Residual stack r (R,) and, if with_jac, the dense Jacobian (R, 6+3M)
-    wrt the increment at (T, nodes).
+    """Dense residual stack r (R,) and Jacobian (R, 6+3M) — test seam.
 
     Row layout: [2N reprojection | M curvature | E edges | 3M temporal]."""
     r_o, J_o = obs_forward(T, nodes, data, pre, with_jac)
@@ -332,9 +439,109 @@ def residuals(T, nodes, data: SfTData, topo: meshmod.MeshTopology,
 
 def assemble(T, nodes, data: SfTData, topo: meshmod.MeshTopology,
              cfg: Config, reg_temp: float):
-    """(r, J) at (T, nodes) — exposed for tests and the distributed solver."""
+    """(r, J) at (T, nodes) — exposed for tests and cross-checks."""
     pre = _prepare(data, topo, cfg, reg_temp)
     return _forward(T, nodes, data, pre, with_jac=True)
+
+
+def normal_equations(T, nodes, data: SfTData, topo: meshmod.MeshTopology,
+                     cfg: Config, reg_temp: float):
+    """(H, g, cost) of the production block assembly at (T, nodes) —
+    exposed for tests (must match J^T W J of :func:`assemble` with the
+    IRLS Huber weights) and for the distributed solver."""
+    pre = _prepare(data, topo, cfg, reg_temp)
+    faces = jnp.asarray(topo.faces)
+    H_cc, H_cn, H_nn_o, g_c, g_n_o, c_o = _obs_normal_eq_impl(
+        T, nodes, data, pre, cfg.sft.huber_delta, faces, topo.faces.shape[0]
+    )
+    H_nn_r, g_n_r, c_r = reg_normal_eq(nodes, data, pre)
+    H, g = dense_system(
+        H_cc, H_cn, H_nn_o + H_nn_r, g_c, g_n_o + g_n_r, pre
+    )
+    return H, g, c_o + c_r
+
+
+def _obs_normal_eq_impl(T, nodes, data: SfTData, pre: _Pre,
+                        huber_delta: float, faces: jnp.ndarray,
+                        n_faces: int):
+    """obs_normal_eq with the static face table passed explicitly."""
+    m = nodes.shape[0]
+    n = data.obs_uv.shape[0]
+    R3 = T[:3, :3]
+    p = jnp.einsum("nk,nkd->nd", data.obs_bary, nodes[pre.fcorners])
+    pc = se3.transform(T, p)
+    z = pc[:, 2]
+    front = z > 1e-6
+    zs = jnp.where(front, z, 1.0)
+    fx, fy = data.K[0, 0], data.K[1, 1]
+    u = fx * pc[:, 0] / zs + data.K[0, 2]
+    v = fy * pc[:, 1] / zs + data.K[1, 2]
+    w_o = pre.w_obs_base * front
+    r2 = (jnp.stack([u, v], axis=-1) - data.obs_uv) * w_o[:, None]
+
+    nrm = jnp.sqrt(jnp.sum(r2 * r2, axis=-1) + 1e-12) * jnp.sqrt(
+        jnp.maximum(data.n_kp, 1.0)
+    )
+    hub = jnp.minimum(1.0, huber_delta / nrm)
+    cost = 0.5 * jnp.sum(hub * jnp.sum(r2 * r2, axis=-1))
+    sh = jnp.sqrt(hub)
+
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    zero = jnp.zeros_like(zs)
+    duv = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * pc[:, 0] * iz2], axis=-1),
+            jnp.stack([zero, fy * iz, -fy * pc[:, 1] * iz2], axis=-1),
+        ],
+        axis=-2,
+    ) * (w_o * sh)[:, None, None]
+    Jxi = jnp.concatenate(
+        [duv, -jnp.einsum("nai,nij->naj", duv, se3.hat(pc))], axis=-1
+    )
+    B = jnp.einsum("nac,cd->nad", duv, R3)
+    r2w = r2 * sh[:, None]
+
+    H_cc = jnp.einsum("nai,naj->ij", Jxi, Jxi, precision=_HP)
+    g_c = jnp.einsum("nai,na->i", Jxi, r2w, precision=_HP)
+    G = jnp.einsum("nai,naj->nij", B, B)
+    CB = jnp.einsum("nai,naj->nij", Jxi, B)
+    gB = jnp.einsum("nai,na->ni", B, r2w)
+    bary = data.obs_bary
+    bb = bary[:, :, None] * bary[:, None, :]
+
+    Hf = jax.ops.segment_sum(
+        (bb[:, :, :, None, None] * G[:, None, None, :, :]).reshape(n, -1),
+        pre.fid, num_segments=n_faces + 1,
+    )[:n_faces].reshape(n_faces, 3, 3, 3, 3)
+    Cf = jax.ops.segment_sum(
+        (bary[:, :, None, None] * CB[:, None, :, :]).reshape(n, -1),
+        pre.fid, num_segments=n_faces + 1,
+    )[:n_faces].reshape(n_faces, 3, 6, 3)
+    gf = jax.ops.segment_sum(
+        (bary[:, :, None] * gB[:, None, :]).reshape(n, -1),
+        pre.fid, num_segments=n_faces + 1,
+    )[:n_faces].reshape(n_faces, 3, 3)
+
+    pair_id = (faces[:, :, None] * m + faces[:, None, :]).reshape(-1)
+    H_nn = jax.ops.segment_sum(
+        Hf.reshape(-1, 9), pair_id, num_segments=m * m
+    ).reshape(m, m, 3, 3)
+    H_cn = jax.ops.segment_sum(
+        Cf.reshape(-1, 18), faces.reshape(-1), num_segments=m
+    ).reshape(m, 6, 3)
+    g_n = jax.ops.segment_sum(
+        gf.reshape(-1, 3), faces.reshape(-1), num_segments=m
+    )
+    return H_cc, H_cn, H_nn, g_c, g_n, cost
+
+
+def obs_normal_eq(T, nodes, data, pre, huber_delta, faces, n_faces):
+    """Observation half of the normal equations: (H_cc (6,6), H_cn (M,6,3),
+    H_nn (M,M,3,3), g_c (6,), g_n (M,3), cost ()).  This is the per-device
+    body of the distributed solver: shard the observation axis and psum
+    every output (parallel.sharded.sft_solve_sharded)."""
+    return _obs_normal_eq_impl(T, nodes, data, pre, huber_delta, faces, n_faces)
 
 
 def _chi2(T, nodes, data: SfTData, topo) -> jnp.ndarray:
@@ -353,37 +560,29 @@ def solve(
     reg_temp: float | None = None,
 ) -> SfTResult:
     """Robust LM solve + chi2 outlier gate (the reference's single
-    optimize(50) -> mark-outliers sequence, DefOptimizer.cc:509-577)."""
+    optimize(50) -> mark-outliers sequence, DefOptimizer.cc:509-577).
+
+    Huber on the sqrt(invSigma2)-weighted pixel error.  The reference's
+    robust kernel sees the extra 1/N information factor (DefOptimizer.cc:
+    340+342), which pushes its knee to ~sqrt(5.991 N) px — effectively
+    inactive.  Scaling the knee back by sqrt(N) gives ORB-SLAM2's
+    poseOptimization deltaMono semantics (a deliberate robustness fix)."""
     reg = cfg.regularizer
     r_temp = reg.temporal if reg_temp is None else reg_temp
     m = data.nodes0.shape[0]
-    n = data.obs_uv.shape[0]
-    n_reproj = 2 * n
     delta_h = cfg.sft.huber_delta
-
-    # Huber on the sqrt(invSigma2)-weighted pixel error.  The reference's
-    # robust kernel sees the extra 1/N information factor (DefOptimizer.cc:
-    # 340+342), which pushes its knee to ~sqrt(5.991 N) px — effectively
-    # inactive.  Scaling the knee back by sqrt(N) gives ORB-SLAM2's
-    # poseOptimization deltaMono semantics (a deliberate robustness fix).
-    sqrt_nkp = jnp.sqrt(jnp.maximum(data.n_kp, 1.0))
-
-    def hub_weights(r):
-        rb = r[:n_reproj].reshape(-1, 2)
-        nrm = jnp.sqrt(jnp.sum(rb * rb, axis=-1) + 1e-12) * sqrt_nkp
-        h = jnp.minimum(1.0, delta_h / nrm)
-        return jnp.concatenate(
-            [jnp.repeat(h, 2), jnp.ones(r.shape[0] - n_reproj, r.dtype)]
-        )
-
-    def cost_of(r):
-        return 0.5 * jnp.sum(hub_weights(r) * r * r)
+    faces = jnp.asarray(topo.faces)
+    n_faces = topo.faces.shape[0]
 
     def run(dd: SfTData, iters: int):
         pre = _prepare(dd, topo, cfg, r_temp)
-        pin = 1.0 - pre.col_free  # fixed coords get a unit diagonal
-        r0, _ = _forward(dd.T0, dd.nodes0, dd, pre, with_jac=False)
-        c0 = cost_of(r0)
+
+        def cost_at(T, nodes):
+            return obs_cost(T, nodes, dd, pre, delta_h) + reg_cost(
+                nodes, dd, pre
+            )
+
+        c0 = cost_at(dd.T0, dd.nodes0)
 
         def cond(carry):
             T, nodes, lam, cost, i, done = carry
@@ -391,19 +590,21 @@ def solve(
 
         def body(carry):
             T, nodes, lam, cost, i, _ = carry
-            r, J = _forward(T, nodes, dd, pre, with_jac=True)
-            W = hub_weights(r)
-            H = jnp.einsum("ri,r,rj->ij", J, W, J, precision=_HP)
-            g = jnp.einsum("ri,r->i", J, W * r, precision=_HP)
-            H = H + jnp.diag(pin)
+            H_cc, H_cn, H_nn_o, g_c, g_n_o, _ = _obs_normal_eq_impl(
+                T, nodes, dd, pre, delta_h, faces, n_faces
+            )
+            H_nn_r, g_n_r, _ = reg_normal_eq(nodes, dd, pre)
+            H, g = dense_system(
+                H_cc, H_cn, H_nn_o + H_nn_r, g_c, g_n_o + g_n_r, pre
+            )
+            # fixed coords already carry a unit diagonal (dense_system)
             A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
             L = jnp.linalg.cholesky(A)
             dx = -jax.scipy.linalg.cho_solve((L, True), g)
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             T_new = se3.se3_exp(dx[:6]) @ T
             nodes_new = nodes + dx[6:].reshape(m, 3)
-            r_new, _ = _forward(T_new, nodes_new, dd, pre, with_jac=False)
-            c_new = cost_of(r_new)
+            c_new = cost_at(T_new, nodes_new)
             accept = (c_new < cost) & jnp.isfinite(c_new)
             converged = accept & (cost - c_new <= 1e-6 * (cost + 1e-30))
             T = jnp.where(accept, T_new, T)

@@ -94,26 +94,48 @@ def sft_track(
 ) -> sft.SfTResult:
     """Assemble the SfT problem from point->keypoint matches and solve.
 
-    Observation rows are the P map-point slots (static shape); unmatched or
-    invalid slots are masked out.  Per-observation information is the
-    pyramid-level invSigma2 (1/1.2^(2 lv)) like g2o's setInformation,
-    normalized by the frame's keypoint count (DefOptimizer.cc:276, 340)."""
+    Observation rows are COMPACTED from the P map-point slots down to the
+    frame keypoint capacity: mutual best-matching makes point->keypoint
+    matches injective, so at most K (<= max_keypoints) slots can be matched
+    — gathering them first shrinks every per-observation array in the LM
+    loop by P/K (2.7x at the shipped capacities) for identical results.
+    Per-observation information is the pyramid-level invSigma2
+    (1/1.2^(2 lv)) like g2o's setInformation, normalized by the frame's
+    keypoint count (DefOptimizer.cc:276, 340)."""
     topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
-    kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
+    p_cap = points.capacity
+    mask_full = (matches.kp_of_point >= 0) & points.valid & (points.facet >= 0)
+    n_obs = min(cfg.orb.max_keypoints, p_cap)
+    if n_obs < p_cap:
+        # matched slots first (top_k of the mask is stable: equal values
+        # keep ascending index order), then gather the observation arrays
+        _, sel = jax.lax.top_k(mask_full.astype(jnp.int32), n_obs)
+        sel_mask = mask_full[sel]
+    else:
+        sel = jnp.arange(p_cap)
+        sel_mask = mask_full
+    kp = jnp.clip(matches.kp_of_point[sel], 0, feats.capacity - 1)
     obs_uv = feats.xy[kp]
     lv = feats.level[kp].astype(jnp.float32)
     inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * lv))
-    mask = (matches.kp_of_point >= 0) & points.valid & (points.facet >= 0)
     data = sft.data_from_template(
         tmpl, K, pose0,
         obs_uv=obs_uv,
-        obs_face=points.facet,
-        obs_bary=points.bary,
+        obs_face=points.facet[sel],
+        obs_bary=points.bary[sel],
         obs_invsigma2=inv_sigma2,
-        obs_mask=mask,
+        obs_mask=sel_mask,
         n_kp=jnp.sum(feats.valid).astype(jnp.float32),
     )
-    return sft.solve(data, topo, cfg, reg_temp=reg_temp)
+    res = sft.solve(data, topo, cfg, reg_temp=reg_temp)
+    if n_obs == p_cap:
+        return res
+    # scatter the per-observation outputs back to the P point slots
+    inlier = jnp.zeros(p_cap, bool).at[sel].set(res.inlier & sel_mask)
+    chi2 = jnp.full(p_cap, jnp.inf, res.chi2.dtype).at[sel].set(res.chi2)
+    return sft.SfTResult(
+        T=res.T, nodes=res.nodes, inlier=inlier, chi2=chi2, cost=res.cost
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "window_scale"))

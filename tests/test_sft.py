@@ -147,6 +147,48 @@ def test_analytic_jacobian_matches_autodiff():
     np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=2e-4)
 
 
+def test_block_normal_equations_match_dense():
+    """The production block assembly (obs/reg_normal_eq -> dense_system)
+    must equal J^T W J / J^T W r of the dense-Jacobian test seam with the
+    solver's IRLS Huber weights."""
+    import jax
+
+    topo, data, *_ = _setup(n_pts=80, seed=5)
+    mask = np.ones(80, bool)
+    mask[60:] = False  # exercise masked observations + LocalZone pinning
+    data = data._replace(obs_mask=jnp.asarray(mask))
+    cfg = _cfg()
+    rt = cfg.regularizer.temporal
+    rng = np.random.default_rng(11)
+    T = se3.se3_exp(jnp.asarray(rng.normal(0, 0.02, 6), jnp.float32))
+    nodes = data.nodes0 + jnp.asarray(
+        rng.normal(0, 0.01, (100, 3)), jnp.float32
+    )
+
+    H, g, cost = sft.normal_equations(T, nodes, data, topo, cfg, rt)
+
+    pre = sft._prepare(data, topo, cfg, rt)
+    r, J = sft.assemble(T, nodes, data, topo, cfg, rt)
+    n_reproj = 2 * 80
+    rb = r[:n_reproj].reshape(-1, 2)
+    nrm = np.sqrt(np.sum(np.asarray(rb) ** 2, axis=-1) + 1e-12) * np.sqrt(
+        float(data.n_kp)
+    )
+    hub = np.minimum(1.0, cfg.sft.huber_delta / nrm)
+    W = np.concatenate([np.repeat(hub, 2), np.ones(r.shape[0] - n_reproj)])
+    H_ref = np.einsum("ri,r,rj->ij", np.asarray(J), W, np.asarray(J))
+    # block path pins fixed coordinates with a unit diagonal inside
+    # dense_system; apply the same to the dense reference
+    pin = 1.0 - np.asarray(pre.col_free)
+    H_ref = H_ref + np.diag(pin)
+    g_ref = np.einsum("ri,r->i", np.asarray(J), W * np.asarray(r))
+    cost_ref = 0.5 * float(np.sum(W * np.asarray(r) ** 2))
+    scale = max(1.0, np.abs(H_ref).max())
+    np.testing.assert_allclose(np.asarray(H), H_ref, atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=2e-3, rtol=2e-4)
+    assert abs(float(cost) - cost_ref) < 1e-3 * max(1.0, cost_ref)
+
+
 def test_localzone_masks_far_nodes():
     """Nodes outside viewed+local_zone rings must not move (setMeshNodes
     fixes all vertices, only OptLap is un-fixed, DefOptimizer.cc:388-406)."""
