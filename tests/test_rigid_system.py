@@ -1,0 +1,207 @@
+"""Rigid ORBSLAM comparison mode: end-to-end tracking on a static scene and
+the loop-closing pipeline (detect -> Sim3 -> essential-graph correction).
+
+The reference ships this mode as the ``#ifdef ORBSLAM`` A/B baseline
+(set_MAC.h:24-25); these tests cover the orchestrator the same way the
+deformable e2e tests cover ``System``."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from defslam_tpu.config import (CapacityConfig, Config, OrbConfig,
+                                TrackingConfig)
+from defslam_tpu.geometry import camera as cam
+from defslam_tpu.geometry import se3
+from defslam_tpu.io.synthetic import make_sequence
+from defslam_tpu.mapstore import state as store
+from defslam_tpu.rigid import loop_closing
+from defslam_tpu.rigid.system import RigidState, RigidSystem
+
+
+@pytest.fixture(scope="module")
+def rigid_run():
+    seq = make_sequence(
+        n_frames=14, height=240, width=320, max_amp=0.0,
+        camera_motion=0.5, seed=3,
+    )
+    cfg = Config(
+        camera=seq.camera,
+        orb=OrbConfig(n_features=600, n_levels=4, max_keypoints=768),
+        tracking=TrackingConfig(keyframe_period=4),
+        capacity=CapacityConfig(max_map_points=2048, max_keyframes=8),
+    )
+    sys_ = RigidSystem(cfg)
+    poses = []
+    for t in range(seq.frames.shape[0]):
+        poses.append(sys_.track_monocular(seq.frames[t], float(t)))
+    return sys_, seq, poses
+
+
+def test_rigid_initializes_and_tracks(rigid_run):
+    sys_, seq, poses = rigid_run
+    ok = [p is not None for p in poses]
+    assert sys_.state == RigidState.OK
+    # initialization needs some baseline; after it, every frame tracks
+    first = ok.index(True)
+    assert first <= 8, f"initialized too late: frame {first}"
+    assert all(ok[first:]), "tracking lost after initialization"
+    assert int(jnp.sum(sys_.points.valid)) > 100
+
+
+def test_rigid_trajectory_matches_gt(rigid_run):
+    """Monocular scale is free: compare GT vs estimated camera centers
+    after a similarity alignment (the standard monocular ATE protocol)."""
+    sys_, seq, poses = rigid_run
+    est, gt = [], []
+    fid = 0
+    for t, p in enumerate(poses):
+        if p is None:
+            continue
+        est.append(np.asarray(se3.inverse(jnp.asarray(p)))[:3, 3])
+        gt.append(np.asarray(se3.inverse(jnp.asarray(seq.poses[t])))[:3, 3])
+    est = jnp.asarray(np.stack(est))
+    gt = jnp.asarray(np.stack(gt))
+    s, R, t = se3.horn_alignment(est, gt, jnp.ones(est.shape[0]))
+    aligned = s * est @ R.T + t
+    ate = np.sqrt(np.mean(np.sum(np.asarray(aligned - gt) ** 2, axis=1)))
+    # scene depth is ~1.0, camera travels 0.5; a few % of scene scale
+    assert ate < 0.05, f"rigid ATE {ate:.4f}"
+
+
+def test_rigid_map_grows_by_triangulation(rigid_run):
+    sys_, seq, poses = rigid_run
+    n_pts = int(jnp.sum(sys_.points.valid))
+    n_init = int(jnp.sum(sys_.kfs.point_id[0] >= 0))
+    assert n_pts > n_init, "no new points triangulated after initialization"
+    assert int(jnp.sum(sys_.kfs.valid)) >= 3
+
+
+# ------------------------------------------------------------ loop closing
+
+
+def _loop_world(n_kf=8, n_pts=100, drift_step=0.04, seed=5):
+    """Keyframes sweeping right and coming back near the start; stored poses
+    carry accumulated drift; the last keyframe observes DUPLICATE points
+    (what a drifted system would have triangulated) that share descriptors
+    with keyframe 0's points — the classic pre-loop-closure state."""
+    rng = np.random.default_rng(seed)
+    cfg = Config(
+        orb=OrbConfig(n_features=128, n_levels=2, max_keypoints=128),
+        capacity=CapacityConfig(max_map_points=512, max_keyframes=n_kf),
+        tracking=TrackingConfig(keyframe_period=4),
+    )
+    K = jnp.asarray(cfg.camera.K)
+    X = np.stack(
+        [rng.uniform(-0.8, 0.8, n_pts), rng.uniform(-0.6, 0.6, n_pts),
+         rng.uniform(2.5, 3.5, n_pts)], axis=1,
+    ).astype(np.float32)
+    desc = rng.integers(0, 2**32, (n_pts, 8), dtype=np.uint32)
+
+    # true camera path: out and back along +x
+    xs = np.concatenate([np.linspace(0, 1.0, n_kf // 2),
+                         np.linspace(1.0, 0.05, n_kf - n_kf // 2)])
+    T_true = np.tile(np.eye(4, dtype=np.float32), (n_kf, 1, 1))
+    T_true[:, 0, 3] = -xs  # world->camera: x' = x - cx
+
+    # drifted stored poses: drift accumulates, pose 0 exact
+    T_drift = T_true.copy()
+    acc = np.zeros(3, np.float32)
+    for k_ in range(1, n_kf):
+        acc = acc + rng.normal(0, drift_step, 3).astype(np.float32)
+        T_drift[k_, :3, 3] += acc
+
+    kfs = store.empty_keyframes(cfg)
+    pts = store.empty_points(cfg)
+    k_cap = cfg.orb.max_keypoints
+    p_cap = cfg.capacity.max_map_points
+
+    xy = np.zeros((n_kf, k_cap, 2), np.float32)
+    dsc = np.zeros((n_kf, k_cap, 8), np.uint32)
+    kpv = np.zeros((n_kf, k_cap), bool)
+    pid = np.full((n_kf, k_cap), -1, np.int32)
+    # KF0 observes the true points
+    uv0 = cam.project(K, se3.transform(jnp.asarray(T_true[0]), jnp.asarray(X)))
+    xy[0, :n_pts] = np.asarray(uv0)
+    dsc[0, :n_pts] = desc
+    kpv[0, :n_pts] = True
+    pid[0, :n_pts] = np.arange(n_pts)
+    # middle KFs: junk descriptors, no observations (pose nodes only)
+    for k_ in range(1, n_kf - 1):
+        dsc[k_, :n_pts] = rng.integers(0, 2**32, (n_pts, 8), dtype=np.uint32)
+        kpv[k_, :n_pts] = True
+    # last KF: duplicate points consistent with ITS drifted pose: the camera
+    # truly sees X (true pose), so the drifted system back-projects them to
+    # X_dup = T_drift^{ -1}(T_true(X))
+    Tl_true = jnp.asarray(T_true[-1])
+    Tl_drift = jnp.asarray(T_drift[-1])
+    x_cam = se3.transform(Tl_true, jnp.asarray(X))
+    X_dup = se3.transform(se3.inverse(Tl_drift), x_cam)
+    uv_l = cam.project(K, x_cam)
+    xy[-1, :n_pts] = np.asarray(uv_l)
+    dsc[-1, :n_pts] = desc  # same physical points -> same descriptors
+    kpv[-1, :n_pts] = True
+    pid[-1, :n_pts] = n_pts + np.arange(n_pts)
+
+    xyz = np.zeros((p_cap, 3), np.float32)
+    xyz[:n_pts] = X
+    xyz[n_pts:2 * n_pts] = np.asarray(X_dup)
+    pdesc = np.zeros((p_cap, 8), np.uint32)
+    pdesc[:n_pts] = desc
+    pdesc[n_pts:2 * n_pts] = desc
+    pvalid = np.zeros(p_cap, bool)
+    pvalid[:2 * n_pts] = True
+    ref_kf = np.full(p_cap, -1, np.int32)
+    ref_kf[:n_pts] = 0
+    ref_kf[n_pts:2 * n_pts] = n_kf - 1
+
+    kfs = kfs._replace(
+        pose=jnp.asarray(T_drift),
+        xy=jnp.asarray(xy), desc=jnp.asarray(dsc),
+        kp_valid=jnp.asarray(kpv), point_id=jnp.asarray(pid),
+        frame_id=jnp.asarray(np.arange(n_kf, dtype=np.int32) * 10),
+        valid=jnp.ones(n_kf, bool),
+    )
+    pts = pts._replace(
+        xyz=jnp.asarray(xyz), desc=jnp.asarray(pdesc),
+        valid=jnp.asarray(pvalid), ref_kf=jnp.asarray(ref_kf),
+        n_obs=jnp.asarray(pvalid.astype(np.int32)),
+    )
+    return cfg, K, kfs, pts, T_true, np.asarray(X), np.asarray(X_dup)
+
+
+def test_detect_loop_finds_revisit():
+    cfg, K, kfs, pts, T_true, X, X_dup = _loop_world()
+    cand = loop_closing.detect_loop(
+        kfs, jnp.asarray(7, jnp.int32), K, cfg, min_votes=40
+    )
+    assert bool(cand.found)
+    assert int(cand.kf) == 0
+    assert int(cand.votes) > 80
+    # temporal neighbors and covisible keyframes are not candidates
+    cand2 = loop_closing.detect_loop(
+        kfs, jnp.asarray(6, jnp.int32), K, cfg, min_votes=5
+    )
+    assert int(cand2.kf) != 7 or not bool(cand2.found)
+
+
+def test_close_loop_corrects_drift():
+    cfg, K, kfs, pts, T_true, X, X_dup = _loop_world()
+    err_before = float(np.linalg.norm(
+        np.asarray(kfs.pose[7])[:3, 3] - T_true[7][:3, 3]
+    ))
+    closed, kfs2, pts2 = loop_closing.close_loop(kfs, pts, 7, K, cfg)
+    assert closed
+    err_after = float(np.linalg.norm(
+        np.asarray(kfs2.pose[7])[:3, 3] - T_true[7][:3, 3]
+    ))
+    assert err_after < 0.5 * err_before, (err_before, err_after)
+    # duplicated points move toward their true positions
+    dup_before = np.linalg.norm(np.asarray(pts.xyz[100:200]) - X, axis=1)
+    dup_after = np.linalg.norm(np.asarray(pts2.xyz[100:200]) - X, axis=1)
+    assert np.median(dup_after) < 0.6 * np.median(dup_before)
+    # pose 0's points stay put (reference keyframe 0 is the fixed vertex)
+    np.testing.assert_allclose(
+        np.asarray(pts2.xyz[:100]), X, atol=1e-3
+    )
