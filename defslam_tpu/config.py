@@ -188,6 +188,26 @@ class GtConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-chip execution (no reference equivalent — the reference's only
+    parallelism is 3 CPU threads, System.cc:140-169; SURVEY 5.7-5.8 defines
+    the TPU-native scaling obligations this config drives).
+
+    ``enabled`` shards the production System over a jax.sharding.Mesh:
+    observation-sharded SfT (psum'd normal-equation blocks over ICI) in the
+    frame loop, pair-sharded warp fits and point-sharded normal solves in
+    the mapping step.  ``coordinator`` switches on multi-host
+    jax.distributed (one process per host, DCN between hosts, ICI inside)."""
+
+    enabled: bool = False
+    n_devices: int = 0  # 0 = all visible devices
+    # multi-host plumbing (jax.distributed.initialize); "" = single process
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class Config:
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
@@ -200,6 +220,7 @@ class Config:
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
     tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
     gt: GtConfig = dataclasses.field(default_factory=GtConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     output_dir: str = "./out"
     save_results: bool = False
     seed: int = 0

@@ -68,38 +68,65 @@ def _cell_size(h: int, w: int, budget: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features(img: jnp.ndarray, cfg: Config) -> Features:
     """(H, W) image (uint8 or f32) -> Features with capacity
-    cfg.orb.max_keypoints."""
+    cfg.orb.max_keypoints.
+
+    Detection/selection run per level (cheap dense VPU ops); orientation,
+    blur and descriptors — the gather-heavy stages — run BATCHED across all
+    levels on a zero-padded (L, H, W) canvas stack via
+    ``orb.orient_describe_stack`` (row gathers + one-hot matmuls, no scalar
+    gathers).  Sampling semantics (edge clipping, rounding) are identical
+    to the per-level path."""
     img = img.astype(jnp.float32)
     oc = cfg.orb
     levels = pyramid.build_pyramid(img, oc.n_levels, oc.scale_factor)
     budgets = level_budgets(oc.n_features, oc.n_levels, oc.scale_factor)
     scales = pyramid.scale_factors(oc.n_levels, oc.scale_factor)
+    h0, w0 = levels[0].shape
 
-    parts = []
-    for lv, (img_lv, budget) in enumerate(zip(levels, budgets)):
-        if budget <= 0:
-            continue
+    xs, resps, lvs, scs = [], [], [], []
+    used = [lv for lv, b in enumerate(budgets) if b > 0]
+    for lv in used:
+        img_lv, budget = levels[lv], budgets[lv]
         score = fast.nms3(fast.score_map(img_lv))
         cell = _cell_size(*img_lv.shape, budget)
         xy, resp = fast.select_grid_topk(
             score, float(oc.min_th_fast), cell, budget
         )
-        valid = resp > 0
-        ang = orb.orientations(img_lv, xy)
-        blur = pyramid.gaussian_blur(img_lv, sigma=2.0, radius=3)
-        desc = orb.describe(blur, xy, ang)
-        parts.append(
-            Features(
-                xy=xy * scales[lv],
-                response=resp,
-                level=jnp.full(xy.shape[0], lv, jnp.int32),
-                angle=ang,
-                desc=desc,
-                valid=valid,
-            )
-        )
+        xs.append(xy)
+        resps.append(resp)
+        lvs.append(jnp.full(xy.shape[0], lv, jnp.int32))
+        scs.append(jnp.full(xy.shape[0], scales[lv], jnp.float32))
+    xy_lv = jnp.concatenate(xs, axis=0)  # level coords, all keypoints
+    resp = jnp.concatenate(resps, axis=0)
+    lv_all = jnp.concatenate(lvs, axis=0)
+    sc_all = jnp.concatenate(scs, axis=0)
+    lv_compact = jnp.searchsorted(
+        jnp.asarray(used, jnp.int32), lv_all
+    ).astype(jnp.int32)
 
-    cat = Features(*[jnp.concatenate(xs, axis=0) for xs in zip(*parts)])
+    # canvas stacks: every used level zero-padded to the level-0 shape
+    raw = jnp.stack(
+        [
+            jnp.pad(levels[lv], ((0, h0 - levels[lv].shape[0]),
+                                 (0, w0 - levels[lv].shape[1])))
+            for lv in used
+        ]
+    )
+    blur = pyramid.gaussian_blur_batched(raw, sigma=2.0, radius=3)
+    level_hw = jnp.asarray(
+        [[levels[lv].shape[0], levels[lv].shape[1]] for lv in used],
+        jnp.int32,
+    )
+    ang, desc = orb.orient_describe_stack(raw, blur, lv_compact, xy_lv, level_hw)
+
+    cat = Features(
+        xy=xy_lv * sc_all[:, None],
+        response=resp,
+        level=lv_all,
+        angle=ang,
+        desc=desc,
+        valid=resp > 0,
+    )
     if cfg.camera.has_distortion:
         # undistort keypoint coordinates (Frame::UndistortKeyPoints) —
         # trace-time branch: distortion-free configs compile no extra ops

@@ -68,6 +68,87 @@ def orientations(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+PATCH_R = 19  # covers the orientation disc (15) and the rotated BRIEF
+PATCH = 2 * PATCH_R + 1  # reach (ceil(13*sqrt(2)) = 19)
+
+
+def orient_describe_stack(
+    raw: jnp.ndarray,  # (L, H, W) f32 padded pyramid canvas
+    blur: jnp.ndarray,  # (L, H, W) f32 blurred canvas
+    lv: jnp.ndarray,  # (N,) int32 pyramid level per keypoint
+    xy: jnp.ndarray,  # (N, 2) f32 integer-valued level coords
+    level_hw: jnp.ndarray,  # (L, 2) int32 true (h, w) of each level
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched orientation + descriptors for keypoints of ALL pyramid
+    levels in one pass — the hot-path replacement for per-level
+    :func:`orientations` + :func:`describe` (same clip-to-level-edge
+    sampling semantics).
+
+    TPU re-design: per-keypoint 39x39 patches are extracted with one
+    contiguous ROW gather from the level canvas followed by a column
+    one-hot matmul (MXU), and the rotated BRIEF samples are read from the
+    patch with two more one-hot matmuls — no scalar gathers anywhere.
+    Scalar-gather ops dominated the round-1 frontend (orientations 11.3 ms
+    + describe 7.5 ms of a 23 ms extraction at 1200 kps / 6 levels); this
+    path is bounded by ~0.3 GB of regular HBM traffic instead.
+
+    Returns (angle (N,), desc (N, 8) uint32).
+    """
+    L, H, W = raw.shape
+    n = xy.shape[0]
+    cx = jnp.round(xy[:, 0]).astype(jnp.int32)
+    cy = jnp.round(xy[:, 1]).astype(jnp.int32)
+    h_l = level_hw[lv, 0]
+    w_l = level_hw[lv, 1]
+    dr = jnp.arange(-PATCH_R, PATCH_R + 1)
+
+    # --- patch extraction: row gather (contiguous W-slices) + column onehot
+    rows_idx = jnp.clip(cy[:, None] + dr[None], 0, (h_l - 1)[:, None])
+    stack2 = jnp.stack([raw, blur], axis=2)  # (L, H, 2, W)
+    rows = stack2[lv[:, None], rows_idx]  # (N, P, 2, W)
+    cols = jnp.clip(cx[:, None] + dr[None], 0, (w_l - 1)[:, None])  # (N, P)
+    oh_col = (
+        cols[:, None, :] == jnp.arange(W)[None, :, None]
+    ).astype(jnp.float32)  # (N, W, P)
+    patch = jnp.einsum("npcw,nwj->ncpj", rows, oh_col)  # (N, 2, P, P)
+
+    # --- intensity-centroid orientation from the raw patch (disc radius 15)
+    dy31, dx31, mask31 = _circle_offsets()
+    s = PATCH_R - HALF_PATCH
+    raw31 = patch[:, 0, s : s + 31, s : s + 31]
+    m10 = jnp.einsum("nij,ij->n", raw31, jnp.asarray(dx31 * mask31, jnp.float32))
+    m01 = jnp.einsum("nij,ij->n", raw31, jnp.asarray(dy31 * mask31, jnp.float32))
+    angle = jnp.arctan2(m01, m10)
+
+    # --- steered BRIEF from the blurred patch via two one-hot matmuls.
+    # In-patch index = round(xy + r) - (c - R): identical rounding/clipping
+    # to describe()'s clip(round(xy + r), 0, wh-1) because patch row/col j
+    # maps to image coord clip(c - R + j, 0, wh-1).
+    pat = jnp.asarray(brief_pattern(), jnp.float32)  # (256, 2, 2) as (x, y)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px = pat[..., 0].reshape(-1)  # (512,)
+    py = pat[..., 1].reshape(-1)
+    rx = ca[:, None] * px[None] - sa[:, None] * py[None]  # (N, 512)
+    ry = sa[:, None] * px[None] + ca[:, None] * py[None]
+    jx = jnp.clip(
+        jnp.round(xy[:, 0, None] + rx).astype(jnp.int32) - (cx - PATCH_R)[:, None],
+        0, PATCH - 1,
+    )
+    jy = jnp.clip(
+        jnp.round(xy[:, 1, None] + ry).astype(jnp.int32) - (cy - PATCH_R)[:, None],
+        0, PATCH - 1,
+    )
+    ar = jnp.arange(PATCH)
+    oh_y = (jy[:, :, None] == ar[None, None, :]).astype(jnp.float32)  # (N,512,P)
+    oh_x = (jx[:, :, None] == ar[None, None, :]).astype(jnp.float32)
+    t = jnp.einsum("nsp,npj->nsj", oh_y, patch[:, 1])  # (N, 512, P)
+    vals = jnp.einsum("nsj,nsj->ns", t, oh_x)  # (N, 512)
+    vp = vals.reshape(n, 256, 2)
+    bits = (vp[..., 0] < vp[..., 1]).astype(jnp.uint32)
+    words = bits.reshape(n, 8, 32) << jnp.arange(32, dtype=jnp.uint32)[None, None]
+    return angle, jnp.sum(words, axis=-1, dtype=jnp.uint32)
+
+
 def describe(
     img_blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
 ) -> jnp.ndarray:

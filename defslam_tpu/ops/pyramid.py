@@ -48,6 +48,26 @@ def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3):
     return x[0, :, :, 0]
 
 
+def gaussian_blur_batched(stack: jnp.ndarray, sigma: float = 2.0,
+                          radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur of a batch of single-channel images
+    (L, H, W) f32 — one conv pair for every pyramid level instead of one
+    per level (identical per-level values: the zero padding of the canvas
+    matches the zero-pad conv boundary of :func:`gaussian_blur`)."""
+    k = jnp.asarray(_gaussian_kernel(sigma, radius))
+    x = stack[..., None]  # LHWC
+    kh = k.reshape(1, -1, 1, 1)
+    kw = k.reshape(-1, 1, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+    )
+    return x[..., 0]
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     """f32 image (H, W) -> list of n_levels images with static shapes.
 

@@ -94,28 +94,28 @@ def sharded_warp_fits(
 
 # ----------------------------------------------------------- sharded SfT --
 
-
 def sft_solve_sharded(
     mesh: Mesh,
     data: sftmod.SfTData,
     cfg: Config,
     num_iters: int | None = None,
     reg_temp: float | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Distributed SfT: the SAME Levenberg-Marquardt solve as
-    ``sft.solve`` (analytic block Jacobians, IRLS Huber on reprojection
-    blocks, Marquardt damping, accept/reject, LocalZone masking) with the
-    observation rows sharded over the "dp" mesh axis.
+) -> sftmod.SfTResult:
+    """Distributed SfT with full single-chip parity: the SAME two-stage
+    robust solve as ``sft.solve`` (analytic block Jacobians, IRLS Huber,
+    Marquardt damping, accept/reject, LocalZone masking, chi2 gate +
+    inlier polish) with the observation rows sharded over the "dp" axis.
 
     Each device assembles its observation shard's normal-equation blocks
-    (``sft.obs_normal_eq``), the weighted contributions are
-    ``psum``'d over ICI, the regularizer rows (observation-independent) are
-    evaluated replicated, and the tiny damped 306-parameter solve + the
-    accept/reject decision run identically on every device.  Bitwise the
-    same update sequence as the single-chip path (the psum is the only
-    reduction-order difference).
+    (``sft.obs_normal_eq``); the blocks, the robust cost, and the
+    viewed-node counts inside ``sft._prepare`` are ``psum``'d over ICI;
+    regularizer rows (observation-independent) are evaluated replicated;
+    and the tiny damped solve + accept/reject run identically on every
+    device.  The psum is the only reduction-order difference vs the
+    single-chip path.
 
-    Returns (pose (4,4), nodes (M,3)), both replicated.
+    Returns a replicated :class:`sft.SfTResult` (per-observation inlier /
+    chi2 arrays gathered back to the full observation axis).
     """
     c = cfg
     n_dev = mesh.devices.size
@@ -127,80 +127,88 @@ def sft_solve_sharded(
     rt = c.regularizer.temporal if reg_temp is None else reg_temp
     delta_h = c.sft.huber_delta
 
-    # masks / folded weights from the FULL observation set (replicated),
-    # then shard the per-observation constants alongside the data
-    pre = sftmod._prepare(data, topo, c, rt)
-
     data_specs = sftmod.SfTData(
         K=P(), T0=P(), nodes0=P(), nodes_rest=P(), rest_len=P(),
         lap_rest=P(), lap_w=P(), curv_scale=P(), interior=P(),
         mean_edge=P(), obs_uv=P("dp"), obs_face=P("dp"), obs_bary=P("dp"),
         obs_invsigma2=P("dp"), obs_mask=P("dp"), n_kp=P(),
     )
-    pre_specs = sftmod._Pre(
-        fcorners=P("dp"), fid=P("dp"), ringx=P(),
-        e0=P(), e1=P(), viewed=P(), optlap=P(),
-        w_obs_base=P("dp"), c_lap=P(), c_edge=P(), c_temp=P(),
-        col_free=P(), sw=P(),
-    )
     data_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), data, data_specs)
-    pre_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), pre, pre_specs)
     faces = jnp.asarray(topo.faces)
     n_faces = topo.faces.shape[0]
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(data_specs, pre_specs),
-        out_specs=(P(), P()),
+        jax.shard_map, mesh=mesh, in_specs=(data_specs,),
+        out_specs=(P(), P(), P("dp"), P("dp"), P()),
     )
-    def run(d, p):
-        def cost_at(T, nodes):
-            c_o = jax.lax.psum(
-                sftmod.obs_cost(T, nodes, d, p, delta_h), "dp"
-            )
-            return c_o + sftmod.reg_cost(nodes, d, p)
+    def run(d):
+        def solve_stage(dd, stage_iters):
+            # per-stage constants: the viewed/LocalZone reduction inside
+            # _prepare is psum'd so every device derives identical masks
+            p = sftmod._prepare(dd, topo, c, rt, axis_name="dp")
 
-        def cond(carry):
-            T, nodes, lam, cost, i, done = carry
-            return (i < iters) & ~done
+            def cost_at(T, nodes):
+                c_o = jax.lax.psum(
+                    sftmod.obs_cost(T, nodes, dd, p, delta_h), "dp"
+                )
+                return c_o + sftmod.reg_cost(nodes, dd, p)
 
-        def body(carry):
-            T, nodes, lam, cost, i, _ = carry
-            # block normal equations: each device assembles its observation
-            # shard's contribution (sft.obs_normal_eq), the six outputs are
-            # psum'd over ICI, regularizers are evaluated replicated —
-            # identical update math to the single-chip sft.solve
-            blocks = sftmod.obs_normal_eq(
-                T, nodes, d, p, delta_h, faces, n_faces
-            )
-            H_cc, H_cn, H_nn_o, g_c, g_n_o, _ = jax.lax.psum(blocks, "dp")
-            H_nn_r, g_n_r, _ = sftmod.reg_normal_eq(nodes, d, p)
-            H, g = sftmod.dense_system(
-                H_cc, H_cn, H_nn_o + H_nn_r, g_c, g_n_o + g_n_r, p
-            )
-            # fixed coords already carry a unit diagonal (dense_system)
-            A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
-            L = jnp.linalg.cholesky(A)
-            dx = -jax.scipy.linalg.cho_solve((L, True), g)
-            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-            T_new = se3.se3_exp(dx[:6]) @ T
-            nodes_new = nodes + dx[6:].reshape(m, 3)
-            c_new = cost_at(T_new, nodes_new)
-            accept = (c_new < cost) & jnp.isfinite(c_new)
-            converged = accept & (cost - c_new <= 1e-6 * (cost + 1e-30))
-            T = jnp.where(accept, T_new, T)
-            nodes = jnp.where(accept, nodes_new, nodes)
-            cost = jnp.where(accept, c_new, cost)
-            lam = jnp.clip(
-                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
-            )
-            return (T, nodes, lam, cost, i + 1, converged | (lam >= 1e8))
+            def cond(carry):
+                T, nodes, lam, cost, i, done = carry
+                return (i < stage_iters) & ~done
 
-        T, nodes, _, _, _, _ = jax.lax.while_loop(
-            cond,
-            body,
-            (d.T0, d.nodes0, jnp.asarray(c.sft.lm_lambda_init, jnp.float32),
-             cost_at(d.T0, d.nodes0), jnp.asarray(0), jnp.asarray(False)),
-        )
-        return T, nodes
+            def body(carry):
+                T, nodes, lam, cost, i, _ = carry
+                blocks = sftmod.obs_normal_eq(
+                    T, nodes, dd, p, delta_h, faces, n_faces
+                )
+                H_cc, H_cn, H_nn_o, g_c, g_n_o, _ = jax.lax.psum(
+                    blocks, "dp"
+                )
+                H_nn_r, g_n_r, _ = sftmod.reg_normal_eq(nodes, dd, p)
+                H, g = sftmod.dense_system(
+                    H_cc, H_cn, H_nn_o + H_nn_r, g_c, g_n_o + g_n_r, p
+                )
+                # fixed coords already carry a unit diagonal (dense_system)
+                A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
+                L = jnp.linalg.cholesky(A)
+                dx = -jax.scipy.linalg.cho_solve((L, True), g)
+                dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+                T_new = se3.se3_exp(dx[:6]) @ T
+                nodes_new = nodes + dx[6:].reshape(m, 3)
+                c_new = cost_at(T_new, nodes_new)
+                accept = (c_new < cost) & jnp.isfinite(c_new)
+                converged = accept & (cost - c_new <= 1e-6 * (cost + 1e-30))
+                T = jnp.where(accept, T_new, T)
+                nodes = jnp.where(accept, nodes_new, nodes)
+                cost = jnp.where(accept, c_new, cost)
+                lam = jnp.clip(
+                    jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
+                )
+                return (T, nodes, lam, cost, i + 1, converged | (lam >= 1e8))
 
-    return jax.jit(run)(data_sh, pre_sh)
+            T, nodes, _, cost, _, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (dd.T0, dd.nodes0,
+                 jnp.asarray(c.sft.lm_lambda_init, jnp.float32),
+                 cost_at(dd.T0, dd.nodes0), jnp.asarray(0),
+                 jnp.asarray(False)),
+            )
+            return T, nodes, cost
+
+        # stage 1: full robust solve; chi2 gate on the LOCAL obs shard
+        T1, nodes1, _ = solve_stage(d, iters)
+        chi2 = sftmod._chi2(T1, nodes1, d, topo)
+        inlier = d.obs_mask & (chi2 <= c.sft.chi2_threshold)
+        # stage 2: short polish on the gated inliers (sft.solve parity)
+        d2 = d._replace(T0=T1, nodes0=nodes1, obs_mask=inlier)
+        T2, nodes2, cost = solve_stage(d2, max(iters // 5, 5))
+        chi2f = sftmod._chi2(T2, nodes2, d, topo)
+        inlier_f = d.obs_mask & (chi2f <= c.sft.chi2_threshold)
+        return T2, nodes2, inlier_f, chi2f, cost
+
+    T, nodes, inlier, chi2, cost = jax.jit(run)(data_sh)
+    return sftmod.SfTResult(
+        T=T, nodes=nodes, inlier=inlier, chi2=chi2, cost=cost
+    )

@@ -78,6 +78,18 @@ class System:
         )
         self._localization_only = False
         self._metrics: list[dict] = []
+        # multi-chip execution (Config.parallel): the frame SfT solve runs
+        # observation-sharded with psum'd normal equations; the mapping step
+        # shards warp fits over pairs and normal solves over points
+        # (SURVEY 5.7-5.8; no reference equivalent — its only parallelism is
+        # 3 CPU threads, System.cc:140-169)
+        if c.parallel.enabled:
+            from defslam_tpu.parallel import init_distributed, sharded
+
+            init_distributed(c)
+            self.mesh = sharded.make_mesh(c.parallel.n_devices or None)
+        else:
+            self.mesh = None
         self.reset()
 
     # ----------------------------------------------------------- lifecycle
@@ -241,19 +253,31 @@ class System:
 
     # ------------------------------------------------------------ tracking
 
+    def _track_frame(self, img, window_scale: float = 1.0):
+        """One frame dispatch: fused single-chip kernel, or the
+        mesh-sharded path when Config.parallel.enabled."""
+        if self.mesh is None:
+            return tracker.track_frame(
+                img, self.points, self.pose, self.template, self.K,
+                self.cfg, window_scale=window_scale,
+            )
+        return tracker.track_frame_parallel(
+            self.mesh, img, self.points, self.pose, self.template, self.K,
+            self.cfg, window_scale=window_scale,
+        )
+
     def _track(self, feats_or_img, timestamp: float) -> FrameResult:
         c = self.cfg
-        feats, matches, res, new_points, stats = tracker.track_frame(
-            feats_or_img, self.points, self.pose, self.template, self.K, c,
+        feats, matches, res, new_points, stats = self._track_frame(
+            feats_or_img
         )
         # single host readback per frame: stats + pose together
         stats_h, pose_h = jax.device_get((stats, res.T))
         n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
         if n_matches < c.tracking.min_inliers_ok:
             # wider search window once (TrackWithMotionModel retry, then LOST)
-            feats, matches, res, new_points, stats = tracker.track_frame(
-                feats_or_img, self.points, self.pose, self.template, self.K, c,
-                window_scale=2.0,
+            feats, matches, res, new_points, stats = self._track_frame(
+                feats_or_img, window_scale=2.0
             )
             stats_h, pose_h = jax.device_get((stats, res.T))
             n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
@@ -275,9 +299,8 @@ class System:
             )
             if bool(ok_r):
                 self.pose = T_r
-                feats, matches, res, new_points, stats = tracker.track_frame(
-                    feats_or_img, self.points, self.pose, self.template,
-                    self.K, c,
+                feats, matches, res, new_points, stats = self._track_frame(
+                    feats_or_img
                 )
                 stats_h, pose_h = jax.device_get((stats, res.T))
                 n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
@@ -309,10 +332,16 @@ class System:
                 matches2 = tracker.match_points_to_frame(
                     self.points, self.pose, self.K, feats, c
                 )
-                res2 = tracker.sft_track(
-                    self.points, matches2, feats, self.template,
-                    self.pose, self.K, c, reg_temp=0.0,
-                )
+                if self.mesh is None:
+                    res2 = tracker.sft_track(
+                        self.points, matches2, feats, self.template,
+                        self.pose, self.K, c, reg_temp=0.0,
+                    )
+                else:
+                    res2 = tracker.sft_track_sharded(
+                        self.mesh, self.points, matches2, feats,
+                        self.template, self.pose, self.K, c, reg_temp=0.0,
+                    )
                 self.pose = res2.T
                 self.template = self.template._replace(nodes=res2.nodes)
                 self.points = tracker.reposition_points(
@@ -400,7 +429,14 @@ class System:
             uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2), mask=jnp.asarray(msk),
             pair_valid=jnp.asarray(pair_valid),
         )
-        dps, ctrls = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
+        if self.mesh is None or np_pairs % self.mesh.devices.size != 0:
+            dps, ctrls = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
+        else:
+            from defslam_tpu.parallel import sharded
+
+            dps, ctrls = sharded.sharded_warp_fits(
+                self.mesh, batch, self.dom, self.bend_warp, c
+            )
         self._densify(slot, pairs, ctrls, np_pairs)
 
         # ---- per-point observation accumulation (native scatter)
@@ -429,7 +465,14 @@ class System:
             uv1=tables["uv1"], uv2=tables["uv2"], J12=tables["J12"],
             Huu=tables["Huu"], Hvv=tables["Hvv"], mask=tables["mask"],
         )
-        nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
+        if self.mesh is None or p_cap % self.mesh.devices.size != 0:
+            nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
+        else:
+            from defslam_tpu.parallel import sharded
+
+            nres = sharded.sharded_normal_solves(
+                self.mesh, obs, jnp.zeros((p_cap, 2))
+            )
 
         # write normals into the new keyframe at the matched keypoints
         slot_j = jnp.asarray(slot, jnp.int32)

