@@ -92,6 +92,7 @@ def main(argv=None):
 
 
 def _progress(sys_):
+    sys_.flush()  # per-frame reporting wants the validated counts
     m = sys_._metrics[-1]
     print(
         f"\rframe {m['frame']:5d} [{m['state']:>15s}] "

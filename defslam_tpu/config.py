@@ -175,6 +175,12 @@ class TrackingConfig:
     match_th_low: int = 50  # ORBmatcher.h TH_LOW
     nn_ratio: float = 0.9
     min_inliers_ok: int = 10
+    # pipelined frame loop: overlap the host's stats readback of frame t
+    # with frame t+1's device compute (the reference's PARALLEL tracking/
+    # mapping overlap, set_MAC.h:22, re-expressed for async device
+    # dispatch).  Tracking failures are detected one frame late and rolled
+    # back; keyframe frames always synchronize.
+    pipelined: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

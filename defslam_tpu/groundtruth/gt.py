@@ -124,12 +124,20 @@ class GroundTruthEvaluator:
         self.cfg = cfg
         self.outdir = outdir or cfg.output_dir
         self.rows: list[tuple[float, float, int, float]] = []
+        # latest GT source, kept for per-keyframe normal-angle evaluation
+        # (the reference evaluates angles INSIDE NRSfM using the keyframe's
+        # GT data, DefLocalMapping.cc:216-221)
+        self._last_depth: np.ndarray | None = None
+        self._last_stereo: tuple | None = None  # (img_l, img_r, baseline)
+        self._last_ts: float = 0.0
 
     def evaluate_depth(
         self, system, depth_map: np.ndarray, timestamp: float
     ) -> float | None:
         """CT-style GT (Apps/simple_CT.cc + TrackMonocularCTGT): read GT depth
         at each inlier map point's pixel; returns scaled RMSE."""
+        self._last_depth, self._last_stereo = depth_map, None
+        self._last_ts = timestamp
         pts, mask = self._tracked_points(system)
         if pts is None:
             return None
@@ -148,7 +156,12 @@ class GroundTruthEvaluator:
         self, system, img_l, img_r, baseline: float, timestamp: float
     ) -> float | None:
         """Stereo GT (TrackMonocularGT): NCC correspondences on the rectified
-        pair -> depths -> scaled RMSE."""
+        pair -> MLS-radius outlier removal -> depths -> scaled RMSE
+        (GroundTruthFrame::Estimate3DScale, GroundTruthFrame.cc:124-228,
+        including the SmootherMLS::outlierRemovalRadius pass on the GT cloud
+        before the min-median scale)."""
+        self._last_stereo, self._last_depth = (img_l, img_r, baseline), None
+        self._last_ts = timestamp
         pts, mask = self._tracked_points(system)
         if pts is None:
             return None
@@ -162,9 +175,51 @@ class GroundTruthEvaluator:
             self.cfg,
         )
         gt = cam.backproject(system.K, uv, depth)
+        ok_h = np.asarray(ok)
+        if ok_h.sum() >= 8:
+            from defslam_tpu.groundtruth.normals_gt import radius_outlier_mask
+
+            gt_h = np.asarray(gt)[ok_h]
+            keep = radius_outlier_mask(
+                gt_h, radius=0.1 * float(np.median(gt_h[:, 2])),
+                min_neighbors=4,
+            )
+            kept = ok_h.copy()
+            kept[np.nonzero(ok_h)[0][~keep]] = False
+            ok = jnp.asarray(kept)
         s, err, rmse = scaled_error(pts, gt, ok)
-        self.rows.append((timestamp, float(rmse), int(ok.sum()), float(s)))
+        self.rows.append((timestamp, float(rmse), int(np.asarray(ok).sum()), float(s)))
         return float(rmse)
+
+    def evaluate_keyframe_angles(self, system, slot: int) -> dict | None:
+        """Per-keyframe normal-angle errors vs the latest GT source,
+        written as ErrorAngIso/ErrorAngSfN files (the reference calls
+        estimateAngleErrorAndScale inside NRSfM when saving results,
+        DefLocalMapping.cc:216-221; GroundTruthKeyFrame.cc:61-209)."""
+        from defslam_tpu.groundtruth import normals_gt
+
+        if self._last_depth is not None:
+            return normals_gt.evaluate_keyframe_normals(
+                system, slot, self._last_depth,
+                outdir=self.outdir, timestamp=self._last_ts,
+            )
+        if self._last_stereo is not None:
+            img_l, img_r, baseline = self._last_stereo
+            kp_xy = jnp.asarray(system.kfs.xy[slot])
+            kp_valid = jnp.asarray(system.kfs.kp_valid[slot])
+            depth, ok = stereo_depth_ncc(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                kp_xy, kp_valid,
+                baseline * self.cfg.camera.fx,
+                self.cfg,
+            )
+            kp_depth = np.where(np.asarray(ok), np.asarray(depth), 0.0)
+            return normals_gt.evaluate_keyframe_normals_at(
+                system, slot, kp_depth,
+                outdir=self.outdir, timestamp=self._last_ts,
+            )
+        return None
 
     def _tracked_points(self, system):
         valid = np.asarray(system.points.valid) & (

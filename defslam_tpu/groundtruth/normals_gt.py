@@ -64,6 +64,22 @@ def evaluate_keyframe_normals(
 ) -> dict | None:
     """Angle errors of (a) the isometric-NRSfM normals and (b) the SfN
     surface normals at keyframe `slot`'s keypoints vs GT-depth normals."""
+    kp_xy = np.asarray(system.kfs.xy[slot])
+    h, w = depth_map.shape
+    xi = np.clip(np.round(kp_xy[:, 0]).astype(int), 0, w - 1)
+    yi = np.clip(np.round(kp_xy[:, 1]).astype(int), 0, h - 1)
+    return evaluate_keyframe_normals_at(
+        system, slot, depth_map[yi, xi], outdir=outdir, timestamp=timestamp
+    )
+
+
+def evaluate_keyframe_normals_at(
+    system, slot: int, kp_depth: np.ndarray, outdir: str | None = None,
+    timestamp: float = 0.0,
+) -> dict | None:
+    """evaluate_keyframe_normals with per-KEYPOINT GT depths (K,) — the
+    seam the stereo-GT path uses (NCC depths at the keyframe's keypoints
+    instead of a dense depth image)."""
     import jax.numpy as jnp
 
     from defslam_tpu.mapping import normals as nrm
@@ -73,16 +89,11 @@ def evaluate_keyframe_normals(
     if not bool(kfs.valid[slot]):
         return None
     retina = np.asarray(kfs.retina[slot])
-    kp_xy = np.asarray(kfs.xy[slot])
     norm_valid = np.asarray(kfs.norm_valid[slot])
     if norm_valid.sum() < 5:
         return None
 
-    # GT cloud at the keypoints from the depth map
-    h, w = depth_map.shape
-    xi = np.clip(np.round(kp_xy[:, 0]).astype(int), 0, w - 1)
-    yi = np.clip(np.round(kp_xy[:, 1]).astype(int), 0, h - 1)
-    d = depth_map[yi, xi]
+    d = np.asarray(kp_depth)
     sel = norm_valid & (d > 1e-6)
     if sel.sum() < 5:
         return None

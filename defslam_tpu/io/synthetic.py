@@ -24,6 +24,7 @@ class SyntheticSequence:
     poses: np.ndarray  # (T, 4, 4) world->camera GT
     amps: np.ndarray  # (T,) deformation amplitude
     camera: CameraConfig
+    frames_right: np.ndarray | None = None  # (T, H, W) rectified right view
 
 
 def _texture(h: int, w: int, seed: int) -> np.ndarray:
@@ -59,6 +60,7 @@ def make_sequence(
     seed: int = 0,
     fov_scale: float = 1.0,
     camera_motion: float = 0.0,
+    baseline: float = 0.0,
 ) -> SyntheticSequence:
     """Render a deforming textured surface.
 
@@ -66,6 +68,10 @@ def make_sequence(
     (world units) over the sequence, exposing new surface area — the trigger
     for the reference's needNewTemplate/re-templating path
     (DefLocalMapping.cc:355-404).
+
+    baseline > 0 additionally renders a rectified right view from a camera
+    displaced by that distance along +x (the DefSLAMGT stereo-pair layout,
+    Apps/stereo_groundtruth.cc).
     """
     cam = CameraConfig(
         fx=200.0 * fov_scale * width / 160.0,
@@ -85,17 +91,15 @@ def make_sequence(
     v = (py - cam.cy) / cam.fy
 
     frames = np.zeros((n_frames, height, width), np.float32)
+    frames_r = np.zeros_like(frames) if baseline > 0 else None
     depths = np.zeros_like(frames)
     poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
     amps = max_amp * np.sin(np.arange(n_frames) / 6.0)
 
-    for t in range(n_frames):
-        # camera center moves along +x in world; pure translation
-        cx_w = camera_motion * t / max(n_frames - 1, 1)
+    def render(cx_w, a):
         # ray: world point = (cx_w, 0, 0) + lam * (u, v, 1); intersect the
         # surface z = 1 + a sin(2x) cos(y) by fixed point on lam
         lam = np.ones_like(u)
-        a = amps[t]
         for _ in range(40):
             x = cx_w + lam * u
             y = lam * v
@@ -105,14 +109,22 @@ def make_sequence(
         ty = np.clip((y + L) / (2 * L) * (tex_h - 1), 0, tex_h - 1.001)
         ix, iy = tx.astype(np.int64), ty.astype(np.int64)
         fx_, fy_ = tx - ix, ty - iy
-        frames[t] = (
+        img = (
             tex[iy, ix] * (1 - fx_) * (1 - fy_)
             + tex[iy, ix + 1] * fx_ * (1 - fy_)
             + tex[iy + 1, ix] * (1 - fx_) * fy_
             + tex[iy + 1, ix + 1] * fx_ * fy_
         )
-        depths[t] = lam  # depth along the camera z (ray param = z here)
+        return img, lam
+
+    for t in range(n_frames):
+        # camera center moves along +x in world; pure translation
+        cx_w = camera_motion * t / max(n_frames - 1, 1)
+        frames[t], depths[t] = render(cx_w, amps[t])
+        if frames_r is not None:
+            frames_r[t], _ = render(cx_w + baseline, amps[t])
         poses[t, 0, 3] = -cx_w  # world->camera: x' = x - cx_w
     return SyntheticSequence(
-        frames=frames, depths=depths, poses=poses, amps=amps, camera=cam
+        frames=frames, depths=depths, poses=poses, amps=amps, camera=cam,
+        frames_right=frames_r,
     )

@@ -62,6 +62,147 @@ class WarpBatch(NamedTuple):
     pair_valid: jnp.ndarray  # (NP,) bool
 
 
+class CovisPairs(NamedTuple):
+    """Device-built warp-pair tables for one new keyframe."""
+
+    pair_kf: jnp.ndarray  # (NP,) int32 covisible keyframe slot per pair
+    pair_valid: jnp.ndarray  # (NP,) bool
+    pid_table: jnp.ndarray  # (NP, PAIR_CAP) int32 shared point id, -1 pad
+    uv1: jnp.ndarray  # (NP, PAIR_CAP, 2) new-KF retina coords
+    uv2: jnp.ndarray  # (NP, PAIR_CAP, 2) covisible-KF retina coords
+    kp_new: jnp.ndarray  # (NP, PAIR_CAP) int32 new-KF keypoint index
+    kp_other: jnp.ndarray  # (NP, PAIR_CAP) int32 covisible-KF keypoint index
+    mask: jnp.ndarray  # (NP, PAIR_CAP) bool
+    n_pairs: jnp.ndarray  # () int32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def covis_pairs(
+    point_id: jnp.ndarray,  # (F, K) kp->point tables
+    retina: jnp.ndarray,  # (F, K, 2)
+    kf_valid: jnp.ndarray,  # (F,)
+    points_valid: jnp.ndarray,  # (P,)
+    slot: jnp.ndarray,  # () int32 — the new keyframe
+    cfg: Config,
+) -> CovisPairs:
+    """Covisible-anchor selection + matched-pair table construction, fully
+    on device (SchwarpDatabase::add anchor selection, SchwarpDatabase.cc:
+    83-118: every stored keyframe sharing >= min_shared_points map points
+    with the new one, strongest first).
+
+    Replaces the round-1 host loop (per-keyframe ctypes intersection +
+    numpy staging of the uv tables): point->keypoint inverse tables are
+    built with two scatters, pair membership is one (F, P) mask, and the
+    top pairs/points come out of top_k — zero host work, one dispatch."""
+    f_cap, k_cap = point_id.shape
+    p_cap = points_valid.shape[0]
+    np_pairs = cfg.capacity.max_warp_pairs
+
+    ar_k = jnp.arange(k_cap, dtype=jnp.int32)
+    # inverse tables: point id -> keypoint index (-1 when unobserved)
+    dest_new = jnp.where(point_id[slot] >= 0, point_id[slot], p_cap)
+    inv_new = jnp.full(p_cap, -1, jnp.int32).at[dest_new].set(
+        ar_k, mode="drop"
+    )
+    dest_all = jnp.where(point_id >= 0, point_id, p_cap)
+    inv_all = jnp.full((f_cap, p_cap), -1, jnp.int32).at[
+        jnp.arange(f_cap)[:, None], dest_all
+    ].set(ar_k[None], mode="drop")
+
+    shared = (inv_new >= 0)[None, :] & (inv_all >= 0) & points_valid[None, :]
+    counts = jnp.sum(shared, axis=1).astype(jnp.int32)
+    eligible = kf_valid & (jnp.arange(f_cap) != slot)
+    counts = jnp.where(
+        eligible & (counts >= cfg.mapping.min_shared_points), counts, -1
+    )
+    top_counts, pair_kf = jax.lax.top_k(counts, min(np_pairs, f_cap))
+    if np_pairs > f_cap:  # pad to the static pair capacity
+        pad = np_pairs - f_cap
+        top_counts = jnp.concatenate([top_counts, jnp.full(pad, -1, jnp.int32)])
+        pair_kf = jnp.concatenate([pair_kf, jnp.zeros(pad, jnp.int32)])
+    pair_valid = top_counts > 0
+
+    # up to PAIR_CAP shared points per pair (lowest point ids first — the
+    # deterministic tie-break of top_k over the 0/1 membership mask)
+    sh_sel = shared[pair_kf]  # (NP, P)
+    ones, pid_sel = jax.lax.top_k(sh_sel.astype(jnp.int32), PAIR_CAP)
+    sel_ok = (ones > 0) & pair_valid[:, None]
+    kp_new = inv_new[pid_sel]  # (NP, C)
+    kp_i = inv_all[pair_kf[:, None], pid_sel]
+    uv1 = retina[slot][jnp.clip(kp_new, 0, k_cap - 1)]
+    uv2 = retina[pair_kf[:, None], jnp.clip(kp_i, 0, k_cap - 1)]
+    zero2 = jnp.zeros_like(uv1)
+    return CovisPairs(
+        pair_kf=pair_kf,
+        pair_valid=pair_valid,
+        pid_table=jnp.where(sel_ok, pid_sel, -1),
+        uv1=jnp.where(sel_ok[:, :, None], uv1, zero2),
+        uv2=jnp.where(sel_ok[:, :, None], uv2, zero2),
+        kp_new=jnp.where(sel_ok, kp_new, -1),
+        kp_other=jnp.where(sel_ok, kp_i, -1),
+        mask=sel_ok,
+        n_pairs=jnp.sum(pair_valid).astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "obs_cap"))
+def accumulate_obs_device(
+    pid: jnp.ndarray,  # (NP, PAIR_CAP) int32 point id per observation
+    mask: jnp.ndarray,  # (NP, PAIR_CAP) bool
+    uv1: jnp.ndarray,  # (NP, PAIR_CAP, 2)
+    warped: jnp.ndarray,  # (NP, PAIR_CAP, 2)
+    J12: jnp.ndarray,  # (NP, PAIR_CAP, 2, 2)
+    Huu: jnp.ndarray,  # (NP, PAIR_CAP, 2)
+    Hvv: jnp.ndarray,  # (NP, PAIR_CAP, 2)
+    n_points: int,
+    obs_cap: int = OBS_CAP,
+) -> nrm.PairObs:
+    """Per-point observation tables for the normal solver, on device.
+
+    Same semantics as the native/numpy ``native.accumulate_obs`` (arrival
+    order, capped at ``obs_cap`` per point) via one stable sort: rows are
+    keyed by point id, the within-group rank is position minus the group's
+    first position, and rows ranked past the cap are dropped.  Keeps the
+    DiffProp arrays on device — the round-1 path shipped ~1.5 MB/keyframe
+    to the host for the native scatter and ~1.5 MB back, which dominated
+    the mapping step's wall time through a low-bandwidth tunnel."""
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    pidf = flat(pid)
+    okf = flat(mask) & (pidf >= 0) & (pidf < n_points)
+    key = jnp.where(okf, pidf, n_points)
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    first = jnp.searchsorted(ks, ks, side="left")
+    rank = jnp.arange(ks.shape[0]) - first
+    store_ok = (ks < n_points) & (rank < obs_cap)
+    dest = jnp.where(store_ok, ks * obs_cap + rank, n_points * obs_cap)
+
+    def scat(a, init):
+        src = flat(a)[order]
+        buf = jnp.concatenate(
+            [init.reshape((n_points * obs_cap,) + src.shape[1:]),
+             jnp.zeros((1,) + src.shape[1:], src.dtype)]
+        )
+        out = buf.at[dest].set(src, mode="drop")
+        return out[:-1].reshape((n_points, obs_cap) + src.shape[1:])
+
+    z2 = jnp.zeros((n_points, obs_cap, 2), jnp.float32)
+    eye = jnp.tile(jnp.eye(2, dtype=jnp.float32), (n_points, obs_cap, 1, 1))
+    obs_mask = (
+        jnp.zeros(n_points * obs_cap + 1, bool)
+        .at[dest].set(store_ok, mode="drop")[:-1]
+        .reshape(n_points, obs_cap)
+    )
+    return nrm.PairObs(
+        uv1=scat(uv1, z2),
+        uv2=scat(warped, z2),
+        J12=scat(J12, eye),
+        Huu=scat(Huu, z2),
+        Hvv=scat(Hvv, z2),
+        mask=obs_mask,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def fit_warps(batch: WarpBatch, dom: jnp.ndarray, bending: jnp.ndarray, cfg: Config):
     """Fit + refine all pair warps and extract DiffProps, vmapped.
@@ -260,6 +401,39 @@ def write_normals(
     )
     norm_valid = norm_valid.at[slot].set(norm_valid[slot] | has)
     return norm_k, norm_valid, jnp.sum(has)
+
+
+@jax.jit
+def propagate_normals(
+    norm_k: jnp.ndarray,  # (F, K, 2)
+    norm_valid: jnp.ndarray,  # (F, K)
+    cp: "CovisPairs",
+    dps,  # warp.DiffProps of the fitted pairs
+    k_solved: jnp.ndarray,  # (P, 2) solved (k1, k2) at the NEW keyframe
+    solved_ok: jnp.ndarray,  # (P,)
+):
+    """Propagate solved normals to the covisible keyframes through the warp
+    Jacobians (NormalEstimator.cc:173-224: the normal estimated at the
+    anchor view is transferred to every other observing keyframe with the
+    infinitesimal-planarity transfer formula) — one batched transfer +
+    scatter over all (pair, point) observations."""
+    from defslam_tpu.mapping import normals as nrm
+
+    p_cap = k_solved.shape[0]
+    f_cap, k_cap = norm_valid.shape
+    pid = jnp.clip(cp.pid_table, 0, p_cap - 1)
+    has = (
+        (cp.pid_table >= 0)
+        & solved_ok[pid]
+        & dps.mask
+        & (cp.kp_other >= 0)
+    )
+    k_t = nrm.transfer_k(k_solved[pid], nrm.pair_obs(dps))  # (NP, C, 2)
+    rows = jnp.where(has, cp.pair_kf[:, None], f_cap).reshape(-1)
+    cols = jnp.clip(cp.kp_other, 0, k_cap - 1).reshape(-1)
+    norm_k = norm_k.at[rows, cols].set(k_t.reshape(-1, 2), mode="drop")
+    norm_valid = norm_valid.at[rows, cols].set(True, mode="drop")
+    return norm_k, norm_valid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

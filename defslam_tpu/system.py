@@ -31,7 +31,6 @@ from defslam_tpu.frontend import Features, extract_features
 from defslam_tpu.geometry import camera as cam
 from defslam_tpu.geometry import se3
 from defslam_tpu.mapping import mapper
-from defslam_tpu.mapping import normals as nrm
 from defslam_tpu.mapstore import state as store
 from defslam_tpu.template import mesh as meshmod
 from defslam_tpu.tracking import tracker
@@ -90,12 +89,16 @@ class System:
             self.mesh = sharded.make_mesh(c.parallel.n_devices or None)
         else:
             self.mesh = None
+        self._pending = None  # in-flight pipelined frame (see _track)
         self.reset()
 
     # ----------------------------------------------------------- lifecycle
 
     def reset(self):
-        """Full map reset (System::Reset -> Tracking/DefLocalMapping reset)."""
+        """Full map reset (System::Reset -> Tracking/DefLocalMapping reset).
+        Any in-flight pipelined frame is dropped (the map it tracked against
+        is being destroyed)."""
+        self._pending = None
         self.kfs = store.empty_keyframes(self.cfg)
         self.points = store.empty_points(self.cfg)
         self.template: meshmod.Template | None = None
@@ -110,6 +113,7 @@ class System:
     def restart(self):
         """System::Restart (System.cc:254-266): put the template back to its
         rest shape, keep the map."""
+        self.flush()
         if self.template is not None:
             self.template = self.template._replace(nodes=self.template.nodes_rest)
             self.points = tracker.reposition_points(
@@ -117,7 +121,9 @@ class System:
             )
 
     def shutdown(self):
-        """No threads to join in the sequential design; flush metrics."""
+        """No threads to join in the sequential design; flush the frame
+        pipeline."""
+        self.flush()
         return None
 
     def activate_localization_mode(self):
@@ -148,6 +154,7 @@ class System:
             if self.template is None or self._lost_count >= 5:
                 reinit = True
         if reinit:
+            self.flush()
             feats = extract_features(img, self.cfg)
             ok = self._initialize(feats, timestamp)
             self.state = TrackingState.OK if ok else TrackingState.NOT_INITIALIZED
@@ -167,6 +174,7 @@ class System:
         truth (System::TrackMonocularGT, System.cc:268-341)."""
         pose = self.track_monocular(img_left, timestamp)
         if pose is not None and self.cfg.save_results:
+            self.flush()  # GT evaluation wants the VALIDATED frame state
             self._gt_evaluator().evaluate_stereo(
                 self, img_left, img_right, baseline, timestamp
             )
@@ -177,6 +185,7 @@ class System:
         (System::TrackMonocularCTGT, System.cc:343-416)."""
         pose = self.track_monocular(img, timestamp)
         if pose is not None and self.cfg.save_results:
+            self.flush()  # GT evaluation wants the VALIDATED frame state
             self._gt_evaluator().evaluate_depth(self, np.asarray(depth_map), timestamp)
         return pose
 
@@ -267,10 +276,78 @@ class System:
         )
 
     def _track(self, feats_or_img, timestamp: float) -> FrameResult:
+        """Per-frame tracking with a one-frame pipeline: this frame is
+        dispatched FIRST, then the previous in-flight frame's stats
+        readback (one host<->device round trip) overlaps this frame's
+        device compute — the reference's PARALLEL-mode overlap
+        (System.cc:140-142) re-expressed for async dispatch.  Keyframe
+        frames synchronize (the mapping step swaps stores the in-flight
+        frame was not computed against); tracking failures are detected one
+        frame late, rolled back from a state backup, and reprocessed with
+        the exact synchronous retry ladder."""
         c = self.cfg
-        feats, matches, res, new_points, stats = self._track_frame(
-            feats_or_img
+        will_kf = (
+            not self._localization_only
+            and self.frames_since_kf + 1 >= c.tracking.keyframe_period
         )
+        pipelined = (
+            c.tracking.pipelined
+            and not will_kf
+            and self.state == TrackingState.OK
+        )
+        out = self._track_frame(feats_or_img)
+        if self._pending is not None:
+            ok_prev = self._finalize_pending()
+            if not ok_prev:
+                # previous frame failed: state was rolled back + recovered;
+                # this frame's dispatch used stale state — redo it
+                out = self._track_frame(feats_or_img)
+        if not pipelined:
+            return self._validate_and_commit(feats_or_img, out, timestamp)
+        feats, matches, res, new_points, stats = out
+        backup = (self.pose, self.template, self.points, self.frames_since_kf)
+        self.pose = res.T
+        self.template = self.template._replace(nodes=res.nodes)
+        self.points = new_points
+        self.frames_since_kf += 1
+        self._pending = (feats_or_img, out, timestamp, backup)
+        # optimistic result: pose is the (device) SfT output, match counts
+        # are unknown until the deferred readback (-1 sentinels); the true
+        # counts land in the metrics at finalization
+        return FrameResult(res.T, TrackingState.OK, -1, -1, False, False)
+
+    def flush(self):
+        """Finalize any in-flight pipelined frame (blocking)."""
+        if getattr(self, "_pending", None) is not None:
+            self._finalize_pending()
+
+    def _finalize_pending(self) -> bool:
+        """Deferred validation of the in-flight frame.  Returns False when
+        the frame failed tracking — state has then been rolled back and
+        reprocessed through the synchronous retry/relocalize ladder."""
+        img, out, timestamp, backup = self._pending
+        self._pending = None
+        c = self.cfg
+        feats, matches, res, new_points, stats = out
+        stats_h, pose_h = jax.device_get((stats, res.T))
+        n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
+        if (
+            n_matches >= c.tracking.min_inliers_ok
+            and n_inliers >= c.tracking.min_inliers_ok
+        ):
+            self.trajectory.append(pose_h)
+            self._record(timestamp, n_matches, n_inliers, False, False)
+            return True
+        # rollback the optimistic commit and reprocess synchronously (`out`
+        # was dispatched from exactly the backup state, so the ladder sees
+        # the same inputs the synchronous path would have)
+        self.pose, self.template, self.points, self.frames_since_kf = backup
+        self._validate_and_commit(img, out, timestamp)
+        return False
+
+    def _validate_and_commit(self, feats_or_img, out, timestamp: float) -> FrameResult:
+        c = self.cfg
+        feats, matches, res, new_points, stats = out
         # single host readback per frame: stats + pose together
         stats_h, pose_h = jax.device_get((stats, res.T))
         n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
@@ -380,54 +457,29 @@ class System:
         self.points = self.points._replace(n_obs=new_n_obs)
         return self._mapping_step(slot)
 
-    def _covisible(self, slot: int) -> list[tuple[int, np.ndarray, np.ndarray]]:
-        """Keyframes sharing >= min_shared_points with `slot`, with the
-        matched keypoint indices (SchwarpDatabase::add anchor selection)."""
-        from defslam_tpu import native
-
-        c = self.cfg
-        point_id = np.asarray(self.kfs.point_id)
-        pid_new = point_id[slot]
-        valid = np.asarray(self.kfs.valid)
-        out = []
-        for i in np.nonzero(valid)[0]:
-            if i == slot:
-                continue
-            kp_new, kp_i, common = native.covis_shared(
-                pid_new, point_id[i], mapper.PAIR_CAP
-            )
-            if len(common) >= c.mapping.min_shared_points:
-                out.append((int(i), kp_new, kp_i, common))
-        out.sort(key=lambda t: -len(t[3]))
-        return out[: c.capacity.max_warp_pairs]
-
     def _mapping_step(self, slot: int) -> bool:
-        """Warps -> normals -> (maybe) SfN + registration + re-template."""
-        c = self.cfg
-        pairs = self._covisible(slot)
-        if not pairs:
-            return False
+        """Warps -> normals -> (maybe) SfN + registration + re-template.
 
-        # ---- batched warp fitting (new KF -> each covisible KF)
+        Device-resident end to end: covisible-pair selection, matched-pair
+        tables, warp fits, densification, per-point observation tables and
+        the normal solves are dispatched without any intermediate host
+        readback — the single sync is the template decision at the end
+        (round 1 looped ctypes intersections per keyframe and shipped the
+        ~3 MB DiffProp tables host->device->host per keyframe)."""
+        c = self.cfg
+        slot_j = jnp.asarray(slot, jnp.int32)
+        cp = mapper.covis_pairs(
+            self.kfs.point_id, self.kfs.retina, self.kfs.valid,
+            self.points.valid, slot_j, c,
+        )
+
+        # ---- batched warp fitting (new KF -> each covisible KF).
         # FIXED pair-axis size: the warp-fit graph (vmapped LM over 390
         # params) is the most expensive compile in the system — one static
         # shape means it compiles exactly once per process
-        np_pairs = self.cfg.capacity.max_warp_pairs
-        pairs = pairs[:np_pairs]
-        uv1 = np.zeros((np_pairs, mapper.PAIR_CAP, 2), np.float32)
-        uv2 = np.zeros_like(uv1)
-        msk = np.zeros((np_pairs, mapper.PAIR_CAP), bool)
-        retina_new = np.asarray(self.kfs.retina[slot])
-        for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
-            m = min(len(kp_new), mapper.PAIR_CAP)
-            uv1[pi, :m] = retina_new[kp_new[:m]]
-            uv2[pi, :m] = np.asarray(self.kfs.retina[i])[kp_i[:m]]
-            msk[pi, :m] = True
-        pair_valid = np.zeros(np_pairs, bool)
-        pair_valid[: len(pairs)] = True
+        np_pairs = c.capacity.max_warp_pairs
         batch = mapper.WarpBatch(
-            uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2), mask=jnp.asarray(msk),
-            pair_valid=jnp.asarray(pair_valid),
+            uv1=cp.uv1, uv2=cp.uv2, mask=cp.mask, pair_valid=cp.pair_valid
         )
         if self.mesh is None or np_pairs % self.mesh.devices.size != 0:
             dps, ctrls = mapper.fit_warps(batch, self.dom, self.bend_warp, c)
@@ -437,33 +489,13 @@ class System:
             dps, ctrls = sharded.sharded_warp_fits(
                 self.mesh, batch, self.dom, self.bend_warp, c
             )
-        self._densify(slot, pairs, ctrls, np_pairs)
+        self._densify(slot_j, cp, ctrls)
 
-        # ---- per-point observation accumulation (native scatter)
-        from defslam_tpu import native
-
+        # ---- per-point observation accumulation (device sort-scatter)
         p_cap = c.capacity.max_map_points
-        pid_table = np.full((np_pairs, mapper.PAIR_CAP), -1, np.int32)
-        for pi, (i, kp_new, kp_i, common) in enumerate(pairs):
-            m = min(len(common), mapper.PAIR_CAP)
-            pid_table[pi, :m] = common[:m]
-        dps_h = jax.device_get(dps)  # one transfer for all diffprop arrays
-        tables, counts = native.accumulate_obs(
-            pid_table,
-            dps_h.mask,
-            uv1,
-            dps_h.warped,
-            dps_h.J12,
-            dps_h.Huu,
-            dps_h.Hvv,
-            p_cap,
-            mapper.OBS_CAP,
-        )
-        # observation tables go straight into the jitted solver (numpy args
-        # upload inside one dispatch — no eager conversions)
-        obs = nrm.PairObs(
-            uv1=tables["uv1"], uv2=tables["uv2"], J12=tables["J12"],
-            Huu=tables["Huu"], Hvv=tables["Hvv"], mask=tables["mask"],
+        obs = mapper.accumulate_obs_device(
+            cp.pid_table, dps.mask, cp.uv1, dps.warped, dps.J12,
+            dps.Huu, dps.Hvv, p_cap, mapper.OBS_CAP,
         )
         if self.mesh is None or p_cap % self.mesh.devices.size != 0:
             nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
@@ -474,12 +506,18 @@ class System:
                 self.mesh, obs, jnp.zeros((p_cap, 2))
             )
 
-        # write normals into the new keyframe at the matched keypoints
-        slot_j = jnp.asarray(slot, jnp.int32)
+        # write normals into the new keyframe at the matched keypoints, then
+        # propagate them to the covisible keyframes through the warp
+        # Jacobians (NormalEstimator.cc:173-224) so a later selectKeyframe
+        # retemplate from a REFERENCE keyframe has normals to integrate
         pid_row = self.kfs.point_id[slot]
+        solved_ok = nres.valid & (nres.n_obs > 0)
         norm_k, norm_valid, n_normals_dev = mapper.write_normals(
             self.kfs.norm_k, self.kfs.norm_valid, slot_j, pid_row,
-            nres.k, nres.valid & (nres.n_obs > 0),
+            nres.k, solved_ok,
+        )
+        norm_k, norm_valid = mapper.propagate_normals(
+            norm_k, norm_valid, cp, dps, nres.k, solved_ok
         )
         self.kfs = self.kfs._replace(norm_k=norm_k, norm_valid=norm_valid)
 
@@ -496,47 +534,51 @@ class System:
             pid_row, self.points.ref_kf, self.points.valid,
             self.kfs.valid, slot_j,
         )
-        n_new, sel, n_normals = (
-            int(x) for x in jax.device_get((explore_dev, sel_dev, n_normals_dev))
+        # the ONE host sync of the mapping step (enoughNormals counts for
+        # every keyframe come along so the non-exploring branch needs no
+        # second readback)
+        n_new, sel, n_pairs, n_norm_all = jax.device_get(
+            (explore_dev, sel_dev, cp.n_pairs,
+             jnp.sum(self.kfs.norm_valid, axis=1))
         )
-        exploring = n_new > c.mapping.points_to_template
-        kf_t = slot if exploring else sel
-        # enoughNormals gate (Surface.cc:62-67) on the template keyframe
-        n_norm_t = n_normals if kf_t == slot else int(
-            jax.device_get(jnp.sum(self.kfs.norm_valid[kf_t]))
-        )
-        if n_norm_t < c.mapping.min_normals:
+        if int(n_pairs) == 0:
             return False
-        return self._retemplate(kf_t)
+        exploring = int(n_new) > c.mapping.points_to_template
+        kf_t = slot if exploring else int(sel)
+        # enoughNormals gate (Surface.cc:62-67) on the template keyframe
+        if int(n_norm_all[kf_t]) < c.mapping.min_normals:
+            return False
+        updated = self._retemplate(kf_t)
+        # per-keyframe normal-angle GT evaluation inside the mapping step
+        # (estimateAngleErrorAndScale called from NRSfM when saving results,
+        # DefLocalMapping.cc:216-221) — after _retemplate so the SfN surface
+        # control grid is available for the ErrorAngSfN file
+        if c.save_results and getattr(self, "_gt_eval", None) is not None:
+            self._gt_eval.evaluate_keyframe_angles(self, kf_t)
+        return updated
 
-    def _densify(self, slot: int, pairs, ctrls, np_pairs: int):
+    def _densify(self, slot_j, cp: "mapper.CovisPairs", ctrls):
         """Warp-guided match densification (DefORBmatcher::findbyWarp /
         searchBySchwarp): propagate map-point observations through the
         fitted warps into whichever side lacks them."""
         c = self.cfg
-        kf_idx = np.zeros(np_pairs, np.int32)
-        for pi, (i, *_rest) in enumerate(pairs):
-            kf_idx[pi] = i
-        pair_valid = np.zeros(np_pairs, bool)
-        pair_valid[: len(pairs)] = True
-        idx = jnp.asarray(kf_idx)
         best, dist = mapper.densify_matches(
             ctrls,
-            self.kfs.retina[slot],
-            self.kfs.kp_valid[slot],
-            self.kfs.desc[slot],
-            self.kfs.retina[idx],
-            self.kfs.kp_valid[idx],
-            self.kfs.desc[idx],
+            self.kfs.retina[slot_j],
+            self.kfs.kp_valid[slot_j],
+            self.kfs.desc[slot_j],
+            self.kfs.retina[cp.pair_kf],
+            self.kfs.kp_valid[cp.pair_kf],
+            self.kfs.desc[cp.pair_kf],
             self.dom,
-            jnp.asarray(pair_valid),
+            cp.pair_valid,
             c,
         )
         # mask matches from padded/invalid pairs before the fused merge
-        best = jnp.where(jnp.asarray(pair_valid)[:, None], best, -1)
+        best = jnp.where(cp.pair_valid[:, None], best, -1)
         new_point_id, new_n_obs = mapper.apply_densify(
             self.kfs.point_id, self.points.n_obs,
-            jnp.asarray(slot, jnp.int32), idx, best,
+            slot_j, cp.pair_kf, best,
         )
         self.kfs = self.kfs._replace(point_id=new_point_id)
         self.points = self.points._replace(n_obs=new_n_obs)
@@ -550,9 +592,6 @@ class System:
             retina, self.kfs.norm_k[slot], self.kfs.norm_valid[slot],
             self.dom, self.bend_sfn, c,
         )
-        if not bool(res_sfn.ok):
-            return False
-
         # registration pairs: the point positions REGISTERED at keyframe
         # insertion (DefMapPoint::PosesKeyframes) gated by normal
         # reliability (covNorm, SurfaceRegistration.cc:69-77)
@@ -565,7 +604,12 @@ class System:
             self.points.valid, self.points.facet, pose,
         )
         reg = mapper.register_surface(surf_xyz, map_xyz, mask, c)
-        if not bool(reg.accepted):
+        # one combined accept readback (SfN conditioning gate + the Sim3
+        # chi gate, DefLocalMapping.cc:203 + SurfaceRegistration.cc:126-135)
+        sfn_ok, accepted = (
+            bool(x) for x in jax.device_get((res_sfn.ok, reg.accepted))
+        )
+        if not (sfn_ok and accepted):
             return False
 
         regen = mapper.regen_template(
@@ -600,6 +644,7 @@ class System:
         The reference has no save/load at all (SURVEY 5.4); the SoA design
         makes it one npz file.
         """
+        self.flush()
         arrays = {}
         for name, store_obj in (("kf", self.kfs), ("pt", self.points)):
             for field_name, arr in zip(store_obj._fields, store_obj):
@@ -647,6 +692,7 @@ class System:
 
     def write_metrics(self, outdir: str | None = None):
         """Matches.txt-compatible output (Tracking.cc:150-167 text streams)."""
+        self.flush()
         outdir = outdir or self.cfg.output_dir
         os.makedirs(outdir, exist_ok=True)
         with open(os.path.join(outdir, "Matches.txt"), "w") as f:

@@ -72,3 +72,77 @@ def test_ct_groundtruth_rmse_small_on_synthetic(tmp_path):
     sys_._gt_eval.write()
     assert (tmp_path / "ErrorGTs0.txt").exists()
     assert (tmp_path / "ScaleVariation.txt").exists()
+
+
+def test_keyframe_angle_files_written_during_run(tmp_path):
+    """The mapping step must produce ErrorAngIso/ErrorAngSfN files when
+    save_results is on (estimateAngleErrorAndScale inside NRSfM,
+    DefLocalMapping.cc:216-221) — VERDICT: the evaluator existed but was
+    never reachable from the pipeline."""
+    import glob
+    import dataclasses
+
+    seq = make_sequence(n_frames=12, height=120, width=160, max_amp=0.05)
+    from defslam_tpu.system import System
+
+    cfg = dataclasses.replace(
+        _cfg(seq.camera),
+        # allow the mapping step to run its NRSfM path every keyframe
+        mapping=MappingConfig(points_to_template=100000, min_normals=10),
+        output_dir=str(tmp_path),
+    )
+    sys_ = System(cfg)
+    for t in range(12):
+        sys_.track_monocular_ct(seq.frames[t], seq.depths[t], timestamp=float(t))
+    iso = glob.glob(str(tmp_path / "ErrorAngIso*.txt"))
+    assert iso, "no ErrorAngIso files written by the mapping step"
+    errs = np.loadtxt(iso[-1])
+    assert errs.size >= 5
+    # synthetic GT: the isometric normals should be well under 45 deg median
+    assert np.median(errs) < 45.0, f"median angle error {np.median(errs)}"
+
+
+def test_stereo_gt_outlier_removal():
+    """The stereo GT path applies radius outlier removal before the
+    min-median scale (GroundTruthFrame.cc:124-228 via SmootherMLS)."""
+    from defslam_tpu.groundtruth.gt import GroundTruthEvaluator
+    from defslam_tpu.geometry import camera as cam
+
+    class FakeSystem:
+        pass
+
+    rng = np.random.default_rng(0)
+    import cv2
+
+    img = cv2.GaussianBlur(
+        rng.uniform(0, 255, (120, 200)).astype(np.float32), (0, 0), 1.5
+    )
+    disp_true = 9
+    img_r = np.roll(img, -disp_true, axis=1)
+    cfg = Config()
+    sysf = FakeSystem()
+    sysf.K = jnp.asarray(cfg.camera.K)
+    # plant points at depth 6.0 (matching the constant disparity) with the
+    # camera at identity
+    n = 60
+    uv = np.stack([rng.uniform(60, 180, n), rng.uniform(20, 100, n)], 1)
+    pts = np.asarray(cam.backproject(sysf.K, jnp.asarray(uv, jnp.float32),
+                                     jnp.full(n, 6.0)))
+    from defslam_tpu.mapstore import state as store
+
+    cfgs = Config(capacity=CapacityConfig(max_map_points=128, max_keyframes=4))
+    p = store.empty_points(cfgs)
+    xyz = np.zeros((128, 3), np.float32)
+    xyz[:n] = pts
+    valid = np.zeros(128, bool)
+    valid[:n] = True
+    facet = np.where(valid, 0, -1).astype(np.int32)
+    sysf.points = p._replace(
+        xyz=jnp.asarray(xyz), valid=jnp.asarray(valid),
+        facet=jnp.asarray(facet),
+    )
+    sysf.pose = jnp.eye(4)
+    ev = GroundTruthEvaluator(cfg)
+    rmse = ev.evaluate_stereo(sysf, img, img_r, baseline=54.0 / cfg.camera.fx,
+                              timestamp=0.0)
+    assert rmse is not None and rmse < 0.1, rmse
