@@ -84,23 +84,65 @@ def main():
     for t in range(n_warm, n_warm + n_meas):
         pose = sys_.track_monocular(frames_dev[t % len(frames_dev)],
                                     timestamp=float(t))
+    sys_.flush()  # the last pipelined frame's compute counts too
     elapsed = time.perf_counter() - t0
     fps = n_meas / elapsed
 
     ok_frames = sum(1 for m in sys_._metrics if m["state"] == "OK")
+    # accuracy gate: tracked structure vs the synthetic GT depth of the last
+    # frame processed (median relative depth error of matched map points).
+    # Guards the perf number against "fast because it stopped tracking".
+    frame_idx = (n_warm + n_meas - 1) % len(seq.frames)
+    acc = _accuracy(sys_, seq, frame_idx)
     result = {
         "metric": "track_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS, 3),
+        "median_depth_err": round(acc, 4),
+        "frames_ok": ok_frames,
     }
+    assert ok_frames == len(sys_._metrics), "bench run lost tracking"
+    assert acc < 0.10, f"accuracy regression: median depth error {acc:.3f}"
     print(json.dumps(result))
     if "--verbose" in sys.argv:
         print(
             f"# frames OK: {ok_frames}/{len(sys_._metrics)}, "
-            f"measured {n_meas} frames in {elapsed:.2f}s",
+            f"measured {n_meas} frames in {elapsed:.2f}s, "
+            f"median depth err {acc:.4f}",
             file=sys.stderr,
         )
+
+
+def _accuracy(sys_, seq, frame_idx: int) -> float:
+    """Median relative depth error of the tracked map points against the
+    synthetic sequence's GT depth map (the CT-GT metric of
+    GroundTruthFrame.cc:124-266, scaled-depth form)."""
+    import jax.numpy as jnp
+
+    from defslam_tpu.geometry import camera as cam
+    from defslam_tpu.geometry import se3
+
+    depth_gt = np.asarray(seq.depths[frame_idx])
+    pc = np.asarray(se3.transform(sys_.pose, sys_.points.xyz))
+    uv = np.asarray(cam.project(jnp.asarray(sys_.K), jnp.asarray(pc)))
+    valid = (
+        np.asarray(sys_.points.valid)
+        & (np.asarray(sys_.points.facet) >= 0)
+        & (pc[:, 2] > 1e-6)
+    )
+    h, w = depth_gt.shape
+    x = np.clip(uv[:, 0].round().astype(int), 0, w - 1)
+    y = np.clip(uv[:, 1].round().astype(int), 0, h - 1)
+    inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    m = valid & inb
+    if m.sum() < 10:
+        return float("inf")
+    gt = depth_gt[y[m], x[m]]
+    z = pc[m, 2]
+    # scale-align (monocular scale gauge), then relative error
+    s = np.median(gt / np.maximum(z, 1e-9))
+    return float(np.median(np.abs(s * z - gt) / np.maximum(gt, 1e-9)))
 
 
 if __name__ == "__main__":

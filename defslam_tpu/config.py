@@ -175,6 +175,12 @@ class TrackingConfig:
     match_th_low: int = 50  # ORBmatcher.h TH_LOW
     nn_ratio: float = 0.9
     min_inliers_ok: int = 10
+    # candidate compaction for the per-frame projection search: only valid
+    # template-embedded in-frustum points enter the (P, K) match tensors,
+    # gathered into this many slots (the reference's grid lookup touches
+    # only window-local candidates; this is the batched equivalent).
+    # Overflow is counted in FrameMatches.n_dropped, never silent.
+    match_capacity: int = 2048
     # pipelined frame loop: overlap the host's stats readback of frame t
     # with frame t+1's device compute (the reference's PARALLEL tracking/
     # mapping overlap, set_MAC.h:22, re-expressed for async device
@@ -191,6 +197,15 @@ class GtConfig:
     ncc_template: int = 11  # template half-extent in px (odd window)
     ncc_search: int = 31  # search band half-extent along epipolar line
     ncc_threshold: float = 0.85
+
+
+@dataclasses.dataclass(frozen=True)
+class ViewerConfig:
+    """Offline viewer outputs (the reference's live Pangolin viewer has no
+    headless equivalent; DefFrameDrawer parity is per-frame annotated PNG
+    export, viewer/frame_drawer.py)."""
+
+    save_frames: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,6 +241,7 @@ class Config:
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
     tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
     gt: GtConfig = dataclasses.field(default_factory=GtConfig)
+    viewer: ViewerConfig = dataclasses.field(default_factory=ViewerConfig)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     output_dir: str = "./out"
     save_results: bool = False

@@ -41,6 +41,26 @@ from defslam_tpu.template import mesh as meshmod
 PAIR_CAP = 512
 # padded capacity of pair-observations per map point for the normal solver
 OBS_CAP = 8
+# Unit conversion for the covNorm reliability gate: the reference thresholds
+# the Ceres covariance diagonal of ITS cost (pixel-scaled residuals) at
+# Regularizer.Reliability (NormalEstimator.cc:159).  Our normal solver
+# minimizes unit-Frobenius-normalized metric residuals, whose JtJ lives in
+# different units: empirically the conditioned core of cov sits at O(1) and
+# degenerate (short-baseline) observations blow past 1e3.  reliability *
+# COV_GATE_SCALE keeps the YAML knob meaningful: 0.7 -> gate 70, squarely
+# between the two populations.
+COV_GATE_SCALE = 100.0
+
+
+def normal_reliability_gate(nres, reliability: float) -> jnp.ndarray:
+    """covNorm acceptance mask (P,) — see COV_GATE_SCALE."""
+    gate = reliability * COV_GATE_SCALE
+    return (
+        nres.valid
+        & (nres.n_obs > 0)
+        & (nres.cov[:, 0, 0] <= gate)
+        & (nres.cov[:, 1, 1] <= gate)
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -74,6 +94,11 @@ class CovisPairs(NamedTuple):
     kp_other: jnp.ndarray  # (NP, PAIR_CAP) int32 covisible-KF keypoint index
     mask: jnp.ndarray  # (NP, PAIR_CAP) bool
     n_pairs: jnp.ndarray  # () int32
+    # truncation observability (the reference accumulates unbounded
+    # observation sets, SchwarpDatabase.cc:83-118 — we cap at static shapes
+    # and COUNT what fell off so coverage loss is never silent)
+    n_pair_dropped: jnp.ndarray  # () int32 eligible pairs past max_warp_pairs
+    n_pt_dropped: jnp.ndarray  # () int32 shared points past PAIR_CAP
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -115,12 +140,16 @@ def covis_pairs(
     counts = jnp.where(
         eligible & (counts >= cfg.mapping.min_shared_points), counts, -1
     )
+    n_eligible = jnp.sum(counts > 0).astype(jnp.int32)
     top_counts, pair_kf = jax.lax.top_k(counts, min(np_pairs, f_cap))
     if np_pairs > f_cap:  # pad to the static pair capacity
         pad = np_pairs - f_cap
         top_counts = jnp.concatenate([top_counts, jnp.full(pad, -1, jnp.int32)])
         pair_kf = jnp.concatenate([pair_kf, jnp.zeros(pad, jnp.int32)])
     pair_valid = top_counts > 0
+    n_pt_dropped = jnp.sum(
+        jnp.where(pair_valid, jnp.maximum(top_counts - PAIR_CAP, 0), 0)
+    ).astype(jnp.int32)
 
     # up to PAIR_CAP shared points per pair (lowest point ids first — the
     # deterministic tie-break of top_k over the 0/1 membership mask)
@@ -142,6 +171,10 @@ def covis_pairs(
         kp_other=jnp.where(sel_ok, kp_i, -1),
         mask=sel_ok,
         n_pairs=jnp.sum(pair_valid).astype(jnp.int32),
+        n_pair_dropped=jnp.maximum(
+            n_eligible - jnp.sum(pair_valid), 0
+        ).astype(jnp.int32),
+        n_pt_dropped=n_pt_dropped,
     )
 
 
@@ -193,6 +226,7 @@ def accumulate_obs_device(
         .at[dest].set(store_ok, mode="drop")[:-1]
         .reshape(n_points, obs_cap)
     )
+    n_dropped = jnp.sum((ks < n_points) & (rank >= obs_cap)).astype(jnp.int32)
     return nrm.PairObs(
         uv1=scat(uv1, z2),
         uv2=scat(warped, z2),
@@ -200,7 +234,7 @@ def accumulate_obs_device(
         Huu=scat(Huu, z2),
         Hvv=scat(Hvv, z2),
         mask=obs_mask,
-    )
+    ), n_dropped
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -269,6 +303,40 @@ def densify_matches(
 @jax.jit
 def solve_normals(obs: nrm.PairObs, k_init: jnp.ndarray) -> nrm.NormalResult:
     return nrm.solve_k1k2(obs, k_init)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def solve_normals_compact(
+    obs: nrm.PairObs, k_init: jnp.ndarray, capacity: int
+) -> nrm.NormalResult:
+    """solve_normals with the point axis COMPACTED to `capacity` slots
+    before the vmapped LM: only points with >=1 pair observation can solve,
+    and at most K (the new keyframe's keypoint count) distinct points
+    appear in the pair tables — solving the full store capacity wastes
+    P/K lanes (2.7x at the shipped 4096/1536).  Results scatter back to
+    the full axis; pass capacity >= the max distinct observed points
+    (min(max_keypoints, P))."""
+    from defslam_tpu.ops import matching
+
+    p_cap = k_init.shape[0]
+    if capacity >= p_cap:
+        return nrm.solve_k1k2(obs, k_init)
+    has = jnp.any(obs.mask, axis=1)
+    sel, sel_ok, _ = matching.compact_select(has, capacity)
+    obs_c = jax.tree.map(lambda a: a[sel], obs)
+    obs_c = obs_c._replace(mask=obs_c.mask & sel_ok[:, None])
+    r = nrm.solve_k1k2(obs_c, k_init[sel])
+    k = jnp.zeros((p_cap, 2), k_init.dtype).at[sel].set(r.k)
+    cov_init = jnp.tile(
+        (jnp.eye(2, dtype=r.cov.dtype) * 1e12)[None], (p_cap, 1, 1)
+    )
+    cov = cov_init.at[sel].set(r.cov)
+    cost = jnp.zeros(p_cap, r.cost.dtype).at[sel].set(r.cost)
+    n_obs = jnp.zeros(p_cap, jnp.int32).at[sel].set(
+        r.n_obs.astype(jnp.int32)
+    )
+    valid = jnp.zeros(p_cap, bool).at[sel].set(r.valid & sel_ok)
+    return nrm.NormalResult(k=k, cov=cov, cost=cost, n_obs=n_obs, valid=valid)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -508,6 +576,7 @@ def rebuild_points(
     slot: jnp.ndarray,  # () int32
     dom: jnp.ndarray,
     cfg: Config,
+    kf_counter: jnp.ndarray | int = 0,  # () int32 birth stamp of new points
 ):
     """CreateNewMapPoints (DefLocalMapping.cc:240-347) as ONE fused update:
 
@@ -560,19 +629,43 @@ def rebuild_points(
     )
     valid = points.valid.at[dest].set(True, mode="drop")
     n_obs = points.n_obs.at[dest].set(1, mode="drop")
+    # lifecycle counters of new points: Found/Visible start at 1/1
+    # (MapPoint ctor) and the birth keyframe is stamped for the
+    # found-ratio culling window (LocalMapping.cc:173-199)
+    ones = jnp.ones(k_cap, jnp.int32)
+    n_visible = points.n_visible.at[dest].set(ones, mode="drop")
+    n_found = points.n_found.at[dest].set(ones, mode="drop")
+    first_kf = points.first_kf.at[dest].set(
+        jnp.asarray(kf_counter, jnp.int32), mode="drop"
+    )
+    norm_k0 = points.norm_k0.at[dest].set(jnp.zeros((k_cap, 2)), mode="drop")
 
     pid_row_new = jnp.where(can, dest.astype(jnp.int32), pid_row)
     new_points = points._replace(
         xyz=xyz, desc=desc, angle=angle, facet=facet, bary=bary,
         ref_kf=ref_kf, ref_kp=ref_kp, valid=valid, n_obs=n_obs,
+        n_visible=n_visible, n_found=n_found, first_kf=first_kf,
+        norm_k0=norm_k0,
     )
     return new_points, pid_row_new
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def cull_points(points, point_id: jnp.ndarray, kf_valid: jnp.ndarray):
-    """MapPointCulling parity (LocalMapping.cc:173-199): keep points that are
-    embedded in the template or still referenced by a valid keyframe."""
+def cull_points(points, point_id: jnp.ndarray, kf_valid: jnp.ndarray,
+                kf_counter: jnp.ndarray | int = 1 << 30):
+    """MapPointCulling (LocalMapping.cc:173-199, run inside the deformable
+    pipeline by DefLocalMapping.cc:115-130):
+
+    - a point is dropped when no valid keyframe references it AND it is not
+      embedded in the template (the reference's SetBadFlag reachability);
+    - RECENT points (born within the last 3 keyframes) are additionally
+      culled by the found/visible ratio < 0.25 rule and by the
+      age>=2 && observations<=2 rule — exactly the reference's two tests
+      (mnFirstKFid window, GetFoundRatio).
+
+    Returns (points, n_culled).  Pass kf_counter = the current keyframe
+    counter; the default (huge) disables the recency rules for callers that
+    only want the reachability sweep."""
     p_cap = points.capacity
     ids = jnp.where(
         kf_valid[:, None] & (point_id >= 0), point_id, p_cap
@@ -581,7 +674,289 @@ def cull_points(points, point_id: jnp.ndarray, kf_valid: jnp.ndarray):
         jnp.zeros(p_cap, bool).at[ids].set(True, mode="drop")
     )
     keep = points.valid & (referenced | (points.facet >= 0))
-    return points._replace(valid=keep)
+    age = jnp.asarray(kf_counter, jnp.int32) - points.first_kf
+    recent = age < 3
+    ratio = points.n_found.astype(jnp.float32) / jnp.maximum(
+        points.n_visible, 1
+    ).astype(jnp.float32)
+    bad_recent = recent & (
+        (ratio < 0.25) | ((age >= 2) & (points.n_obs <= 2))
+    )
+    keep = keep & ~bad_recent
+    n_culled = jnp.sum(points.valid & ~keep).astype(jnp.int32)
+    return points._replace(valid=keep), n_culled
+
+
+@jax.jit
+def distinctive_descriptors(
+    point_id: jnp.ndarray,  # (F, K) kp->point tables
+    kf_valid: jnp.ndarray,  # (F,)
+    kp_valid: jnp.ndarray,  # (F, K)
+    kf_desc: jnp.ndarray,  # (F, K, 8) uint32
+    points_desc: jnp.ndarray,  # (P, 8) current distinctive descriptors
+):
+    """MapPoint::ComputeDistinctiveDescriptors, batched: for every map point
+    gather up to OBS_CAP observed descriptors from the keyframes that see it
+    (same sort-scatter as accumulate_obs_device) and keep the MEDOID — the
+    descriptor minimizing the summed Hamming distance to the others.  Points
+    with < 2 gathered observations keep their current descriptor."""
+    f_cap, k_cap = point_id.shape
+    p_cap = points_desc.shape[0]
+    pidf = jnp.where(
+        kf_valid[:, None] & kp_valid & (point_id >= 0), point_id, p_cap
+    ).reshape(-1)
+    order = jnp.argsort(pidf, stable=True)
+    ks = pidf[order]
+    first = jnp.searchsorted(ks, ks, side="left")
+    rank = jnp.arange(ks.shape[0]) - first
+    store_ok = (ks < p_cap) & (rank < OBS_CAP)
+    dest = jnp.where(store_ok, ks * OBS_CAP + rank, p_cap * OBS_CAP)
+    src = kf_desc.reshape(-1, 8)[order]
+    buf = jnp.zeros((p_cap * OBS_CAP + 1, 8), jnp.uint32).at[dest].set(
+        src, mode="drop"
+    )[:-1].reshape(p_cap, OBS_CAP, 8)
+    got = jnp.zeros(p_cap * OBS_CAP + 1, bool).at[dest].set(
+        store_ok, mode="drop"
+    )[:-1].reshape(p_cap, OBS_CAP)
+    # pairwise Hamming between the gathered descriptors, (P, O, O)
+    x = buf[:, :, None, :] ^ buf[:, None, :, :]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    pair_ok = got[:, :, None] & got[:, None, :]
+    sums = jnp.sum(jnp.where(pair_ok, d, 0), axis=-1)  # (P, O)
+    sums = jnp.where(got, sums, jnp.iinfo(jnp.int32).max)
+    best = jnp.argmin(sums, axis=-1)  # (P,)
+    medoid = jnp.take_along_axis(buf, best[:, None, None], axis=1)[:, 0]
+    n_got = jnp.sum(got, axis=1)
+    return jnp.where((n_got >= 2)[:, None], medoid, points_desc)
+
+
+class MappingDiag(NamedTuple):
+    """Host-relevant scalars of one keyframe mapping step — read back ONCE,
+    deferred by a frame (System._pending_map)."""
+
+    slot: jnp.ndarray  # () int32 keyframe slot used
+    kf_t: jnp.ndarray  # () int32 template-source keyframe
+    accepted: jnp.ndarray  # () bool — template was regenerated + swapped
+    exploring: jnp.ndarray  # () bool
+    n_pairs: jnp.ndarray  # () int32 covisible warp pairs
+    n_new: jnp.ndarray  # () int32 exploration count
+    n_norm: jnp.ndarray  # () int32 normals on the template keyframe
+    n_culled: jnp.ndarray  # () int32 points culled this step
+    obs_dropped: jnp.ndarray  # () int32 observations past OBS_CAP
+    pair_dropped: jnp.ndarray  # () int32 eligible pairs past max_warp_pairs
+    pt_dropped: jnp.ndarray  # () int32 shared points past PAIR_CAP
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def keyframe_step(
+    kfs,  # KeyframeStore (donated)
+    points,  # PointStore (donated)
+    tmpl: meshmod.Template,
+    pose: jnp.ndarray,  # (4, 4) current frame pose (the new KF's pose)
+    feats,  # Features of the keyframe frame
+    kp_of_point: jnp.ndarray,  # (P,) frame match per point
+    inlier: jnp.ndarray,  # (P,) SfT inlier gate
+    K: jnp.ndarray,
+    dom: jnp.ndarray,
+    bend_warp: jnp.ndarray,
+    bend_sfn: jnp.ndarray,
+    tmpl_ref_kf: jnp.ndarray,  # () int32 — current template's source KF
+    kf_counter: jnp.ndarray,  # () int32
+    frame_id: jnp.ndarray,  # () int32
+    cfg: Config,
+):
+    """The ENTIRE keyframe step as one device-resident computation with NO
+    host readback: slot selection (redundancy-aware eviction), keyframe
+    insertion, warps -> densify -> distinctive descriptors -> normals
+    (covNorm-gated, warm-started) -> template decision -> SfN + Sim3 +
+    re-template -> re-anchor SfT -> lifecycle culling.
+
+    This is the reference's PARALLEL-mode semantics (System.cc:140-142:
+    DefLocalMapping runs beside tracking) re-expressed for an accelerator:
+    instead of a mapping thread, the whole step is dispatched asynchronously
+    and the ONE decision scalar bundle (MappingDiag) is read back a frame
+    later — the host never blocks on the mapping chain.  The round-2 design
+    had two blocking syncs here (template decision + Sim3 accept).
+
+    Control flow that the reference runs on the CPU (needNewTemplate,
+    selectKeyframe, chi gates, DefLocalMapping.cc:138-234) is computed with
+    jnp.where / lax.cond on device; the expensive re-template + re-anchor
+    branch only executes when its gate passes (lax.cond executes a single
+    branch).
+
+    Returns (kfs, points, template, pose, diag)."""
+    from defslam_tpu.tracking import tracker
+
+    c = cfg
+    f_cap = kfs.capacity
+    p_cap = points.capacity
+
+    # ---- keyframe slot: first free, else redundancy-aware eviction
+    # (KeyFrameCulling's >=90%-redundant rule, LocalMapping.cc:645-725,
+    # applied lazily at capacity instead of proactively — a deliberate
+    # deviation: fixed-capacity stores make eager deletion pointless; the
+    # template-source keyframe is never evicted)
+    free = ~kfs.valid
+    any_free = jnp.any(free)
+    first_free = jnp.argmax(free).astype(jnp.int32)
+    pid_ok = kfs.point_id >= 0
+    pidc = jnp.clip(kfs.point_id, 0, p_cap - 1)
+    redundant = pid_ok & (points.n_obs[pidc] >= 4)
+    red_ratio = jnp.sum(redundant, axis=1) / jnp.maximum(
+        jnp.sum(pid_ok, axis=1), 1
+    )
+    evictable = kfs.valid & (jnp.arange(f_cap) != tmpl_ref_kf)
+    red_ratio = jnp.where(evictable, red_ratio, -1.0)
+    most_red = jnp.argmax(red_ratio).astype(jnp.int32)
+    fid_masked = jnp.where(
+        evictable, kfs.frame_id, jnp.iinfo(jnp.int32).max
+    )
+    oldest = jnp.argmin(fid_masked).astype(jnp.int32)
+    evict = jnp.where(red_ratio[most_red] > 0.9, most_red, oldest)
+    slot = jnp.where(any_free, first_free, evict)
+
+    # ---- insert the keyframe (fused scatter, bumps n_obs)
+    from defslam_tpu.mapstore import state as store
+
+    kfs, n_obs2 = store.insert_keyframe_from_matches(
+        kfs, points.n_obs, slot, pose, feats, kp_of_point, inlier, K,
+        frame_id, points.xyz,
+    )
+    points = points._replace(n_obs=n_obs2)
+
+    # ---- covisible pairs + batched warp fits
+    cp = covis_pairs(
+        kfs.point_id, kfs.retina, kfs.valid, points.valid, slot, c
+    )
+    batch = WarpBatch(
+        uv1=cp.uv1, uv2=cp.uv2, mask=cp.mask, pair_valid=cp.pair_valid
+    )
+    dps, ctrls = fit_warps(batch, dom, bend_warp, c)
+
+    # ---- warp-guided densification + observation-table merge
+    best, _dist = densify_matches(
+        ctrls, kfs.retina[slot], kfs.kp_valid[slot], kfs.desc[slot],
+        kfs.retina[cp.pair_kf], kfs.kp_valid[cp.pair_kf],
+        kfs.desc[cp.pair_kf], dom, cp.pair_valid, c,
+    )
+    best = jnp.where(cp.pair_valid[:, None], best, -1)
+    point_id2, n_obs3 = apply_densify(
+        kfs.point_id, points.n_obs, slot, cp.pair_kf, best
+    )
+    kfs = kfs._replace(point_id=point_id2)
+    points = points._replace(n_obs=n_obs3)
+    # distinctive-descriptor refresh now that observations changed
+    points = points._replace(
+        desc=distinctive_descriptors(
+            kfs.point_id, kfs.valid, kfs.kp_valid, kfs.desc, points.desc
+        )
+    )
+
+    # ---- per-point normal solves (warm-started, covNorm-gated)
+    obs, obs_dropped = accumulate_obs_device(
+        cp.pid_table, dps.mask, cp.uv1, dps.warped, dps.J12,
+        dps.Huu, dps.Hvv, p_cap, OBS_CAP,
+    )
+    nres = solve_normals_compact(
+        obs, points.norm_k0, min(feats.capacity, p_cap)
+    )
+    # covNorm reliability gate (NormalEstimator.cc:159: the covariance
+    # diagonal must be below Regularizer.Reliability before a normal is
+    # accepted; gated normals also never enter Sim3 registration,
+    # SurfaceRegistration.cc:69-77, via norm_valid)
+    solved_ok = normal_reliability_gate(nres, c.regularizer.reliability)
+    points = points._replace(
+        norm_k0=jnp.where(solved_ok[:, None], nres.k, points.norm_k0)
+    )
+    pid_row = kfs.point_id[slot]
+    norm_k, norm_valid, _n_dev = write_normals(
+        kfs.norm_k, kfs.norm_valid, slot, pid_row, nres.k, solved_ok
+    )
+    norm_k, norm_valid = propagate_normals(
+        norm_k, norm_valid, cp, dps, nres.k, solved_ok
+    )
+    kfs = kfs._replace(norm_k=norm_k, norm_valid=norm_valid)
+
+    # ---- template decision, fully on device (needNewTemplate 355-404,
+    # selectKeyframe 411-441, enoughNormals Surface.cc:62-67)
+    n_new = exploration_count(
+        kfs.xy[slot], kfs.kp_valid[slot], pid_row, c
+    )
+    sel = select_ref_keyframe(
+        pid_row, points.ref_kf, points.valid, kfs.valid, slot
+    )
+    exploring = n_new > c.mapping.points_to_template
+    kf_t = jnp.where(exploring, slot, sel).astype(jnp.int32)
+    n_norm_t = jnp.sum(kfs.norm_valid[kf_t]).astype(jnp.int32)
+    gate = (cp.n_pairs > 0) & (n_norm_t >= c.mapping.min_normals)
+
+    def _retemplate(args):
+        kfs, points = args
+        retina_t = kfs.retina[kf_t]
+        pose_t = kfs.pose[kf_t]
+        pid_t = kfs.point_id[kf_t]
+        res_sfn = integrate_surface(
+            retina_t, kfs.norm_k[kf_t], kfs.norm_valid[kf_t],
+            dom, bend_sfn, c,
+        )
+        surf_xyz, map_xyz, mask = registration_pairs(
+            res_sfn.xyz, pid_t, kfs.kp_xyz[kf_t], kfs.kp_xyz_valid[kf_t],
+            kfs.norm_valid[kf_t], points.valid, points.facet, pose_t,
+        )
+        reg = register_surface(surf_xyz, map_xyz, mask, c)
+        acc = res_sfn.ok & reg.accepted
+
+        def _apply(args2):
+            kfs, points = args2
+            regen = regen_template(
+                res_sfn.ctrl, reg, pose_t, retina_t, dom, c
+            )
+            points2, pid_row_new = rebuild_points(
+                points, regen, pose_t, K, pid_t, kfs.kp_valid[kf_t],
+                kfs.desc[kf_t], kfs.angle[kf_t], kf_t, dom, c,
+                kf_counter,
+            )
+            kfs2 = kfs._replace(
+                point_id=kfs.point_id.at[kf_t].set(pid_row_new),
+                surf_ctrl=kfs.surf_ctrl.at[kf_t].set(res_sfn.ctrl),
+                surf_valid=kfs.surf_valid.at[kf_t].set(True),
+            )
+            tmpl2 = regen.template
+            # re-anchor camera + new mesh against the CURRENT frame with
+            # the temporal term off (DefTracking.cc:115-117:
+            # DefPoseOptimization(..., RegTemp=0) after updateTemplate)
+            m2 = tracker.match_points_to_frame(points2, pose, K, feats, c)
+            res2 = tracker.sft_track(
+                points2, m2, feats, tmpl2, pose, K, c, reg_temp=0.0
+            )
+            tmpl2 = tmpl2._replace(nodes=res2.nodes)
+            points2 = tracker.reposition_points(points2, res2.nodes, c)
+            return kfs2, points2, tmpl2, res2.T
+
+        kfs, points, tmpl2, pose2 = jax.lax.cond(
+            acc, _apply, lambda a: (a[0], a[1], tmpl, pose), (kfs, points)
+        )
+        return kfs, points, tmpl2, pose2, acc
+
+    def _skip(args):
+        kfs, points = args
+        return kfs, points, tmpl, pose, jnp.asarray(False)
+
+    kfs, points, tmpl_out, pose_out, accepted = jax.lax.cond(
+        gate, _retemplate, _skip, (kfs, points)
+    )
+
+    # ---- MapPoint lifecycle culling (reachability + found-ratio rules)
+    points, n_culled = cull_points(
+        points, kfs.point_id, kfs.valid, kf_counter
+    )
+    diag = MappingDiag(
+        slot=slot, kf_t=kf_t, accepted=accepted, exploring=exploring,
+        n_pairs=cp.n_pairs, n_new=n_new, n_norm=n_norm_t,
+        n_culled=n_culled, obs_dropped=obs_dropped,
+        pair_dropped=cp.n_pair_dropped, pt_dropped=cp.n_pt_dropped,
+    )
+    return kfs, points, tmpl_out, pose_out, diag
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -71,6 +71,16 @@ class PointStore(NamedTuple):
     #   ORBmatcher.cc:35-37 + SearchByProjection rotHist)
     valid: jnp.ndarray  # (P,) bool
     n_obs: jnp.ndarray  # (P,) int32 — observation count (for culling)
+    # MapPoint lifecycle counters (MapPoint.cc IncreaseVisible/IncreaseFound,
+    # consumed by the found-ratio culling of LocalMapping.cc:173-199 which
+    # the reference runs inside the deformable pipeline too,
+    # DefLocalMapping.cc:115-130)
+    n_visible: jnp.ndarray  # (P,) int32 — frames where point was a candidate
+    n_found: jnp.ndarray  # (P,) int32 — frames where matched as an inlier
+    first_kf: jnp.ndarray  # (P,) int32 — keyframe counter at creation
+    # warm start for the per-point normal solver (the reference re-estimates
+    # from the previous solution on repeated estimations)
+    norm_k0: jnp.ndarray  # (P, 2)
 
     @property
     def capacity(self) -> int:
@@ -113,6 +123,10 @@ def empty_points(cfg: Config) -> PointStore:
         angle=jnp.zeros((p,)),
         valid=jnp.zeros((p,), bool),
         n_obs=jnp.zeros((p,), jnp.int32),
+        n_visible=jnp.zeros((p,), jnp.int32),
+        n_found=jnp.zeros((p,), jnp.int32),
+        first_kf=jnp.zeros((p,), jnp.int32),
+        norm_k0=jnp.zeros((p, 2)),
     )
 
 

@@ -96,13 +96,13 @@ def lm_solve(
     c0 = cost_of(r0, w0)
 
     def cond(carry):
-        x, lam, cost, i, done = carry
+        x, r, w, lam, cost, i, done = carry
         return (i < num_iters) & ~done
 
     def body(carry):
-        x, lam, cost, i, _ = carry
-        r = residual_fn(x)
-        w = weights(r)
+        # residuals/weights at x are CARRIED from the previous accept test
+        # (one residual evaluation per iteration instead of two)
+        x, r, w, lam, cost, i, _ = carry
         J = jac(x)  # (R, N)
         H = jnp.einsum("ri,r,rj->ij", J, w, J, precision=_HP)
         g = jnp.einsum("ri,r->i", J, w * r, precision=_HP)
@@ -114,20 +114,24 @@ def lm_solve(
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         x_new = retract(x, dx)
         r_new = residual_fn(x_new)
-        c_new = cost_of(r_new, weights(r_new))
+        w_new = weights(r_new)
+        c_new = cost_of(r_new, w_new)
         accept = (c_new < cost) & jnp.isfinite(c_new)
         converged = accept & (cost - c_new <= rtol * (cost + 1e-30))
         x = jnp.where(accept, x_new, x)
+        r = jnp.where(accept, r_new, r)
+        w = jnp.where(accept, w_new, w)
         cost = jnp.where(accept, c_new, cost)
         lam = jnp.clip(
             jnp.where(accept, lam * lam_down, lam * lam_up), lam_min, lam_max
         )
-        return (x, lam, cost, i + 1, converged | (lam >= lam_max))
+        return (x, r, w, lam, cost, i + 1, converged | (lam >= lam_max))
 
-    x, lam, cost, _, _ = jax.lax.while_loop(
+    x, _, _, lam, cost, _, _ = jax.lax.while_loop(
         cond,
         body,
-        (x0, jnp.asarray(lam0, x0.dtype), c0, jnp.asarray(0), jnp.asarray(False)),
+        (x0, r0, w0, jnp.asarray(lam0, x0.dtype), c0, jnp.asarray(0),
+         jnp.asarray(False)),
     )
     # final normal matrix for covariance consumers
     rF = residual_fn(x)

@@ -22,7 +22,24 @@ HISTO_BINS = 30  # rotation-consistency histogram bins (ORBmatcher.cc:35)
 
 class Matches(NamedTuple):
     idx: jnp.ndarray  # (N,) int32 — best match in B for each A, -1 if none
-    dist: jnp.ndarray  # (N,) int32 — Hamming distance of best match
+    dist: jnp.ndarray  # (N,) int32
+
+
+def compact_select(mask: jnp.ndarray, capacity: int):
+    """Select up to `capacity` True rows of `mask` (stable: ascending index
+    order) for gather-based candidate compaction.  Returns
+    (sel (capacity,) int32, sel_mask (capacity,) bool, n_dropped () int32).
+
+    The standard TPU trick for keeping the hot (A, B) pair tensors sized by
+    the EXPECTED candidate count instead of the store capacity: top_k over
+    the 0/1 mask is stable, so selected rows keep their relative order."""
+    n = mask.shape[0]
+    if capacity >= n:
+        ar = jnp.arange(n, dtype=jnp.int32)
+        return ar, mask, jnp.int32(0)
+    _, sel = jax.lax.top_k(mask.astype(jnp.int32), capacity)
+    n_elig = jnp.sum(mask).astype(jnp.int32)
+    return sel.astype(jnp.int32), mask[sel], jnp.maximum(n_elig - capacity, 0)
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:

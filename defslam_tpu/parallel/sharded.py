@@ -53,6 +53,18 @@ def _shard(mesh: Mesh, x, spec: P):
 # ------------------------------------------------------- mapping sharding --
 
 
+@functools.lru_cache(maxsize=16)
+def _normal_solves_fn(mesh: Mesh):
+    """Jitted sharded normal solver, memoized per mesh so the trace cache
+    is shared across frames (a fresh jax.jit wrapper per call would retrace
+    the vmapped LM every keyframe)."""
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        nrm.solve_k1k2,
+        in_shardings=(nrm.PairObs(dp, dp, dp, dp, dp, dp), dp),
+    )
+
+
 def sharded_normal_solves(
     mesh: Mesh, obs: nrm.PairObs, k_init: jnp.ndarray
 ) -> nrm.NormalResult:
@@ -61,14 +73,17 @@ def sharded_normal_solves(
     assert p % mesh.devices.size == 0, "pad the point axis to the mesh size"
     obs_sharded = jax.tree.map(lambda a: _shard(mesh, a, P("dp")), obs)
     k0 = _shard(mesh, k_init, P("dp"))
-    fn = jax.jit(
-        nrm.solve_k1k2,
-        in_shardings=(
-            jax.tree.map(lambda _: NamedSharding(mesh, P("dp")), obs),
-            NamedSharding(mesh, P("dp")),
-        ),
+    return _normal_solves_fn(mesh)(obs_sharded, k0)
+
+
+@functools.lru_cache(maxsize=16)
+def _warp_fits_fn(mesh: Mesh, cfg: Config):
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        functools.partial(mapper.fit_warps, cfg=cfg),
+        in_shardings=(mapper.WarpBatch(dp, dp, dp, dp), rep, rep),
     )
-    return fn(obs_sharded, k0)
 
 
 def sharded_warp_fits(
@@ -81,15 +96,9 @@ def sharded_warp_fits(
     """Warp fitting sharded over the pair axis (dp); domain constants are
     replicated.  Returns (DiffProps, ctrl) like mapper.fit_warps."""
     batch_sh = jax.tree.map(lambda a: _shard(mesh, a, P("dp")), batch)
-    fn = jax.jit(
-        functools.partial(mapper.fit_warps, cfg=cfg),
-        in_shardings=(
-            jax.tree.map(lambda _: NamedSharding(mesh, P("dp")), batch),
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P()),
-        ),
+    return _warp_fits_fn(mesh, cfg)(
+        batch_sh, _shard(mesh, dom, P()), _shard(mesh, bending, P())
     )
-    return fn(batch_sh, _shard(mesh, dom, P()), _shard(mesh, bending, P()))
 
 
 # ----------------------------------------------------------- sharded SfT --
@@ -101,6 +110,117 @@ def sft_solve_sharded(
     num_iters: int | None = None,
     reg_temp: float | None = None,
 ) -> sftmod.SfTResult:
+    """Distributed SfT with full single-chip parity (see _sft_sharded_fn)."""
+    n_dev = mesh.devices.size
+    n_obs_total = data.obs_uv.shape[0]
+    assert n_obs_total % n_dev == 0, "pad observations to the mesh size"
+    data_sh = jax.tree.map(
+        lambda a, sp: _shard(mesh, a, sp), data, _SFT_DATA_SPECS
+    )
+    fn = _sft_sharded_fn(
+        mesh, cfg,
+        num_iters or cfg.sft.lm_iterations,
+        cfg.regularizer.temporal if reg_temp is None else reg_temp,
+    )
+    T, nodes, inlier, chi2, cost = fn(data_sh)
+    return sftmod.SfTResult(
+        T=T, nodes=nodes, inlier=inlier, chi2=chi2, cost=cost
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _node_partition(nu: int, nv: int, n_dev: int):
+    """Static u-strip partition of the (nu x nv) node grid for the Schur
+    solver (SURVEY 5.7): device d owns the contiguous u-rows
+    [d*s, (d+1)*s); the FIRST row of every strip d>0 is the interface set
+    (together with the 6 camera params), the remaining rows are that
+    device's interior.  Node couplings (faces, edges, 1-rings) span at most
+    one u-row, so interiors of different strips never couple — eliminating
+    them locally and psum-ing the Schur contributions onto the interface
+    system is EXACT.
+
+    Returns (interior_param_idx (D, Ni) int32, interior_valid (D, Ni) bool,
+    interface_param_idx (Nb,) int32) in the 6+3M parameter numbering.
+    Interior sets are padded to the widest strip (strip 0 has no leading
+    interface row)."""
+    assert nu % n_dev == 0, "nodes_u must divide over the mesh"
+    s = nu // n_dev
+    assert s >= 2 or n_dev == 1, (
+        "need >=2 u-rows per device (one interface + interior)"
+    )
+    ni_max = s * nv  # strip 0: all s rows are interior
+    interior = np.zeros((n_dev, 3 * ni_max), np.int64)
+    valid = np.zeros((n_dev, 3 * ni_max), bool)
+    iface_nodes = []
+    for d in range(n_dev):
+        rows = range(d * s, (d + 1) * s)
+        if d > 0:
+            iface_nodes.extend(d * s * nv + np.arange(nv))
+            rows = range(d * s + 1, (d + 1) * s)
+        nodes = np.concatenate([
+            u * nv + np.arange(nv) for u in rows
+        ]) if s else np.zeros(0, np.int64)
+        params = (6 + 3 * nodes[:, None] + np.arange(3)).reshape(-1)
+        interior[d, : len(params)] = params
+        valid[d, : len(params)] = True
+    iface_nodes = np.asarray(iface_nodes, np.int64)
+    iface = np.concatenate([
+        np.arange(6),
+        (6 + 3 * iface_nodes[:, None] + np.arange(3)).reshape(-1)
+        if len(iface_nodes) else np.zeros(0, np.int64),
+    ])
+    return (
+        jnp.asarray(interior, jnp.int32),
+        jnp.asarray(valid),
+        jnp.asarray(iface, jnp.int32),
+    )
+
+
+def _schur_solve(A, g, part, axis: str):
+    """Distributed SPD solve A x = g via non-overlapping block elimination:
+    each device Cholesky-factors its interior block, reduces it onto the
+    (camera + strip-boundary) interface system, the psum'd interface system
+    is solved replicated, and interiors back-substitute locally.  Exact
+    (matches the dense solve in exact arithmetic); the O(M^3) factorization
+    cost drops to D * O((M/D)^3) + O(B^3)."""
+    ii_all, vi_all, bi = part
+    d = jax.lax.axis_index(axis)
+    ii = ii_all[d]
+    vi = vi_all[d]
+    n = g.shape[0]
+    ni = ii.shape[0]
+    pair_ok = vi[:, None] & vi[None, :]
+    eye = jnp.eye(ni, dtype=A.dtype)
+    Aii = jnp.where(pair_ok, A[ii][:, ii], eye)
+    Aib = jnp.where(vi[:, None], A[ii][:, bi], 0.0)
+    gi = jnp.where(vi, g[ii], 0.0)
+    L = jnp.linalg.cholesky(Aii)
+    Y = jax.scipy.linalg.cho_solve(
+        (L, True), jnp.concatenate([Aib, gi[:, None]], axis=1)
+    )
+    Yb, yg = Y[:, :-1], Y[:, -1]
+    S = A[bi][:, bi] - jax.lax.psum(Aib.T @ Yb, axis)
+    rhs = g[bi] - jax.lax.psum(Aib.T @ yg, axis)
+    Lb = jnp.linalg.cholesky(S)
+    xb = jax.scipy.linalg.cho_solve((Lb, True), rhs)
+    xi = jax.scipy.linalg.cho_solve((L, True), gi - Aib @ xb)
+    xi = jnp.where(vi, xi, 0.0)
+    buf = jnp.zeros(n + 1, A.dtype).at[
+        jnp.where(vi, ii, n)
+    ].set(xi, mode="drop")[:n]
+    return jax.lax.psum(buf, axis) + jnp.zeros(n, A.dtype).at[bi].set(xb)
+
+
+_SFT_DATA_SPECS = sftmod.SfTData(
+    K=P(), T0=P(), nodes0=P(), nodes_rest=P(), rest_len=P(),
+    lap_rest=P(), lap_w=P(), curv_scale=P(), interior=P(),
+    mean_edge=P(), obs_uv=P("dp"), obs_face=P("dp"), obs_bary=P("dp"),
+    obs_invsigma2=P("dp"), obs_mask=P("dp"), n_kp=P(),
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _sft_sharded_fn(mesh: Mesh, cfg: Config, iters: int, rt: float):
     """Distributed SfT with full single-chip parity: the SAME two-stage
     robust solve as ``sft.solve`` (analytic block Jacobians, IRLS Huber,
     Marquardt damping, accept/reject, LocalZone masking, chi2 gate +
@@ -118,27 +238,24 @@ def sft_solve_sharded(
     chi2 arrays gathered back to the full observation axis).
     """
     c = cfg
-    n_dev = mesh.devices.size
-    iters = num_iters or c.sft.lm_iterations
-    m = data.nodes0.shape[0]
+    m = c.mesh.n_nodes
     topo = meshmod.grid_topology(c.mesh.nodes_u, c.mesh.nodes_v)
-    n_obs_total = data.obs_uv.shape[0]
-    assert n_obs_total % n_dev == 0, "pad observations to the mesh size"
-    rt = c.regularizer.temporal if reg_temp is None else reg_temp
     delta_h = c.sft.huber_delta
-
-    data_specs = sftmod.SfTData(
-        K=P(), T0=P(), nodes0=P(), nodes_rest=P(), rest_len=P(),
-        lap_rest=P(), lap_w=P(), curv_scale=P(), interior=P(),
-        mean_edge=P(), obs_uv=P("dp"), obs_face=P("dp"), obs_bary=P("dp"),
-        obs_invsigma2=P("dp"), obs_mask=P("dp"), n_kp=P(),
-    )
-    data_sh = jax.tree.map(lambda a, sp: _shard(mesh, a, sp), data, data_specs)
     faces = jnp.asarray(topo.faces)
     n_faces = topo.faces.shape[0]
+    # Mesh-axis scaling (SURVEY 5.7): for large templates the damped-normal
+    # solve itself is node-block-partitioned over the mesh (Schur reduction
+    # to the camera+boundary system, psum over ICI) instead of replicated.
+    n_dev = mesh.devices.size
+    use_schur = (
+        n_dev > 1 and m >= 256 and c.mesh.nodes_u % n_dev == 0
+        and c.mesh.nodes_u // n_dev >= 2
+    )
+    part = _node_partition(c.mesh.nodes_u, c.mesh.nodes_v, n_dev) \
+        if use_schur else None
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(data_specs,),
+        jax.shard_map, mesh=mesh, in_specs=(_SFT_DATA_SPECS,),
         out_specs=(P(), P(), P("dp"), P("dp"), P()),
     )
     def run(d):
@@ -171,8 +288,11 @@ def sft_solve_sharded(
                 )
                 # fixed coords already carry a unit diagonal (dense_system)
                 A = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
-                L = jnp.linalg.cholesky(A)
-                dx = -jax.scipy.linalg.cho_solve((L, True), g)
+                if use_schur:
+                    dx = -_schur_solve(A, g, part, "dp")
+                else:
+                    L = jnp.linalg.cholesky(A)
+                    dx = -jax.scipy.linalg.cho_solve((L, True), g)
                 dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
                 T_new = se3.se3_exp(dx[:6]) @ T
                 nodes_new = nodes + dx[6:].reshape(m, 3)
@@ -208,7 +328,4 @@ def sft_solve_sharded(
         inlier_f = d.obs_mask & (chi2f <= c.sft.chi2_threshold)
         return T2, nodes2, inlier_f, chi2f, cost
 
-    T, nodes, inlier, chi2, cost = jax.jit(run)(data_sh)
-    return sftmod.SfTResult(
-        T=T, nodes=nodes, inlier=inlier, chi2=chi2, cost=cost
-    )
+    return jax.jit(run)

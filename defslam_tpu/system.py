@@ -99,6 +99,8 @@ class System:
         Any in-flight pipelined frame is dropped (the map it tracked against
         is being destroyed)."""
         self._pending = None
+        self._pending_map = None
+        self.kf_counter = 0
         self.kfs = store.empty_keyframes(self.cfg)
         self.points = store.empty_points(self.cfg)
         self.template: meshmod.Template | None = None
@@ -107,6 +109,8 @@ class System:
         self.state = TrackingState.NO_IMAGES_YET
         self.frame_id = -1
         self.frames_since_kf = 0
+        self.kf_counter = 0  # keyframes created so far (mnId analogue,
+        #   the age reference for found-ratio culling of recent points)
         self._lost_count = 0
         self.trajectory: list[np.ndarray] = []
 
@@ -139,7 +143,16 @@ class System:
 
     def track_monocular(self, img, timestamp: float = 0.0) -> np.ndarray | None:
         """Process one grayscale frame; returns the world->camera pose (4x4)
-        or None while not initialized/lost (System::TrackMonocular)."""
+        or None while not initialized/lost (System::TrackMonocular).
+
+        Contract under ``tracking.pipelined`` (the default): the returned
+        pose is the frame's un-validated SfT solution as a DEVICE array
+        (materializes on use); validation is deferred one frame — if the
+        frame later fails its match/inlier gates, the system rolls back and
+        re-tracks, and the corrected outcome lands in the metrics/trajectory
+        (not in this return value).  Callers needing synchronous validated
+        poses set ``tracking.pipelined=False`` or call :meth:`flush` first.
+        """
         self.frame_id += 1
         img = jnp.asarray(img)
         if img.ndim == 3:
@@ -250,12 +263,18 @@ class System:
             ),
             valid=jnp.asarray(point_valid),
             n_obs=jnp.asarray(point_valid.astype(np.int32)),
+            # Found/Visible start at 1/1 (MapPoint ctor: mnVisible=1,
+            # mnFound=1); first_kf = the initial keyframe (counter 0)
+            n_visible=jnp.asarray(point_valid.astype(np.int32)),
+            n_found=jnp.asarray(point_valid.astype(np.int32)),
+            first_kf=jnp.zeros(p_cap, jnp.int32),
         )
         self.pose = jnp.eye(4)
         self.kfs = store.add_keyframe(
             store.empty_keyframes(c), 0, self.pose, feats, retina,
             jnp.asarray(pid_of_kp), self.frame_id,
         )
+        self.kf_counter = 1
         self.frames_since_kf = 0
         self.trajectory.append(np.asarray(self.pose))
         return True
@@ -302,6 +321,9 @@ class System:
                 # previous frame failed: state was rolled back + recovered;
                 # this frame's dispatch used stale state — redo it
                 out = self._track_frame(feats_or_img)
+        # deferred keyframe mapping decision (scalars only) — overlapped
+        # with this frame's already-dispatched device compute
+        self._finalize_pending_map()
         if not pipelined:
             return self._validate_and_commit(feats_or_img, out, timestamp)
         feats, matches, res, new_points, stats = out
@@ -310,22 +332,29 @@ class System:
         self.template = self.template._replace(nodes=res.nodes)
         self.points = new_points
         self.frames_since_kf += 1
-        self._pending = (feats_or_img, out, timestamp, backup)
+        # record the frame's metrics row NOW (frame order preserved) with
+        # placeholder counts; the deferred readback backfills the true
+        # values in place (Matches.txt rows end up frame-ordered, -1-free)
+        self._record(timestamp, -1, -1, False, False)
+        self._pending = (feats_or_img, out, timestamp, backup,
+                         len(self._metrics) - 1)
         # optimistic result: pose is the (device) SfT output, match counts
         # are unknown until the deferred readback (-1 sentinels); the true
         # counts land in the metrics at finalization
         return FrameResult(res.T, TrackingState.OK, -1, -1, False, False)
 
     def flush(self):
-        """Finalize any in-flight pipelined frame (blocking)."""
+        """Finalize any in-flight pipelined frame and any pending keyframe
+        mapping decision (blocking)."""
         if getattr(self, "_pending", None) is not None:
             self._finalize_pending()
+        self._finalize_pending_map()
 
     def _finalize_pending(self) -> bool:
         """Deferred validation of the in-flight frame.  Returns False when
         the frame failed tracking — state has then been rolled back and
         reprocessed through the synchronous retry/relocalize ladder."""
-        img, out, timestamp, backup = self._pending
+        img, out, timestamp, backup, row = self._pending
         self._pending = None
         c = self.cfg
         feats, matches, res, new_points, stats = out
@@ -336,13 +365,21 @@ class System:
             and n_inliers >= c.tracking.min_inliers_ok
         ):
             self.trajectory.append(pose_h)
-            self._record(timestamp, n_matches, n_inliers, False, False)
+            self._metrics[row].update(
+                matches=n_matches, inliers=n_inliers,
+                n_local=int(stats_h[2]), match_dropped=int(stats_h[3]),
+            )
+            self._maybe_draw_frame(img, feats, matches)
             return True
         # rollback the optimistic commit and reprocess synchronously (`out`
         # was dispatched from exactly the backup state, so the ladder sees
-        # the same inputs the synchronous path would have)
+        # the same inputs the synchronous path would have); the optimistic
+        # metrics row is replaced by the retry outcome in place
         self.pose, self.template, self.points, self.frames_since_kf = backup
+        n_rows = len(self._metrics)
         self._validate_and_commit(img, out, timestamp)
+        if len(self._metrics) > n_rows:
+            self._metrics[row] = self._metrics.pop()
         return False
 
     def _validate_and_commit(self, feats_or_img, out, timestamp: float) -> FrameResult:
@@ -424,9 +461,24 @@ class System:
                 self.points = tracker.reposition_points(
                     self.points, res2.nodes, c
                 )
-        self._record(timestamp, n_matches, n_inliers, is_kf, template_updated)
+        self._record(timestamp, n_matches, n_inliers, is_kf, template_updated,
+                     n_local=int(stats_h[2]), n_dropped=int(stats_h[3]))
+        self._maybe_draw_frame(feats_or_img, feats, matches)
         return FrameResult(pose_h, self.state, n_matches,
                            n_inliers, is_kf, template_updated)
+
+    def _maybe_draw_frame(self, feats_or_img, feats, matches):
+        """DefFrameDrawer parity: annotated PNG per tracked frame when
+        viewer.save_frames is on (debug mode — forces a host sync)."""
+        if not self.cfg.viewer.save_frames:
+            return
+        if isinstance(feats_or_img, Features):
+            return
+        from defslam_tpu.viewer import frame_drawer
+
+        frame_drawer.save_annotated(
+            self, np.asarray(feats_or_img), feats, matches, self.frame_id
+        )
 
     # ------------------------------------------------------------- mapping
 
@@ -441,10 +493,76 @@ class System:
         return int(np.argmin(fid))
 
     def _insert_keyframe(self, feats: Features, matches, res) -> bool:
-        """CreateNewKeyFrame + the sequential mapping step
-        (DefLocalMapping::insideTheLoop)."""
+        """CreateNewKeyFrame + the mapping step.
+
+        Single-chip path: ONE fused device dispatch (mapper.keyframe_step)
+        whose decision scalars are read back a frame later — the host never
+        blocks on the mapping chain (the reference's PARALLEL overlap,
+        System.cc:140-142, re-expressed as async dispatch).  The multi-chip
+        path keeps the step-by-step orchestration so the pair/point shards
+        ride the device mesh (sharded_warp_fits / sharded_normal_solves).
+        Returns the template-updated flag for the LEGACY path only; the
+        fused path reports it through the deferred MappingDiag (metrics are
+        backfilled at finalization)."""
+        c = self.cfg
+        if self.mesh is None:
+            self._finalize_pending_map()
+            out = mapper.keyframe_step(
+                self.kfs, self.points, self.template, self.pose, feats,
+                matches.kp_of_point, res.inlier, self.K, self.dom,
+                self.bend_warp, self.bend_sfn,
+                jnp.asarray(self.template_ref_kf, jnp.int32),
+                jnp.asarray(self.kf_counter, jnp.int32),
+                jnp.asarray(self.frame_id, jnp.int32), c,
+            )
+            self.kfs, self.points, self.template, self.pose, diag = out
+            self.kf_counter += 1
+            self._pending_map = (diag, len(self._metrics))
+            if c.save_results and getattr(self, "_gt_eval", None) is not None:
+                # the GT harness evaluates per-keyframe angle errors
+                # synchronously whenever the NRSfM chain ran
+                # (estimateAngleErrorAndScale inside NRSfM,
+                # DefLocalMapping.cc:216-221 — called even when the Sim3
+                # gate rejects the template swap)
+                d = self._finalize_pending_map()
+                ran_nrsfm = (
+                    d is not None
+                    and int(d.n_pairs) > 0
+                    and int(d.n_norm) >= c.mapping.min_normals
+                )
+                if ran_nrsfm:
+                    self._gt_eval.evaluate_keyframe_angles(self, int(d.kf_t))
+                return bool(d.accepted) if d is not None else False
+            return False
+        return self._insert_keyframe_legacy(feats, matches, res)
+
+    def _finalize_pending_map(self):
+        """Deferred readback of the last keyframe step's decision scalars;
+        backfills the keyframe's metrics row (template flag + truncation
+        counters) and the host-side template bookkeeping.  Returns the host
+        MappingDiag, or None when nothing was pending."""
+        if getattr(self, "_pending_map", None) is None:
+            return None
+        diag, row = self._pending_map
+        self._pending_map = None
+        d = jax.device_get(diag)
+        accepted = bool(d.accepted)
+        if accepted:
+            self.template_ref_kf = int(d.kf_t)
+        if row < len(self._metrics):
+            self._metrics[row].update(
+                template=accepted,
+                map_obs_dropped=int(d.obs_dropped),
+                map_pair_dropped=int(d.pair_dropped),
+                map_pt_dropped=int(d.pt_dropped),
+                points_culled=int(d.n_culled),
+            )
+        return d
+
+    def _insert_keyframe_legacy(self, feats: Features, matches, res) -> bool:
         c = self.cfg
         slot = self._free_kf_slot()
+        self.kf_counter += 1
         # invert point->kp matches into the KF's kp->point table and bump
         # observation counts — fixed shapes only (a variable-length index
         # scatter here recompiled on every keyframe)
@@ -493,17 +611,17 @@ class System:
 
         # ---- per-point observation accumulation (device sort-scatter)
         p_cap = c.capacity.max_map_points
-        obs = mapper.accumulate_obs_device(
+        obs, _obs_dropped = mapper.accumulate_obs_device(
             cp.pid_table, dps.mask, cp.uv1, dps.warped, dps.J12,
             dps.Huu, dps.Hvv, p_cap, mapper.OBS_CAP,
         )
         if self.mesh is None or p_cap % self.mesh.devices.size != 0:
-            nres = mapper.solve_normals(obs, jnp.zeros((p_cap, 2)))
+            nres = mapper.solve_normals(obs, self.points.norm_k0)
         else:
             from defslam_tpu.parallel import sharded
 
             nres = sharded.sharded_normal_solves(
-                self.mesh, obs, jnp.zeros((p_cap, 2))
+                self.mesh, obs, self.points.norm_k0
             )
 
         # write normals into the new keyframe at the matched keypoints, then
@@ -511,7 +629,14 @@ class System:
         # Jacobians (NormalEstimator.cc:173-224) so a later selectKeyframe
         # retemplate from a REFERENCE keyframe has normals to integrate
         pid_row = self.kfs.point_id[slot]
-        solved_ok = nres.valid & (nres.n_obs > 0)
+        # covNorm reliability gate (NormalEstimator.cc:159) + warm-start
+        # bookkeeping, matching the fused keyframe_step
+        solved_ok = mapper.normal_reliability_gate(
+            nres, c.regularizer.reliability
+        )
+        self.points = self.points._replace(
+            norm_k0=jnp.where(solved_ok[:, None], nres.k, self.points.norm_k0)
+        )
         norm_k, norm_valid, n_normals_dev = mapper.write_normals(
             self.kfs.norm_k, self.kfs.norm_valid, slot_j, pid_row,
             nres.k, solved_ok,
@@ -624,6 +749,7 @@ class System:
             self.kfs.kp_valid[slot], self.kfs.desc[slot],
             self.kfs.angle[slot],
             jnp.asarray(slot, jnp.int32), self.dom, c,
+            jnp.asarray(self.kf_counter, jnp.int32),
         )
         self.points = new_points
         self.kfs = self.kfs._replace(
@@ -631,8 +757,9 @@ class System:
             surf_ctrl=self.kfs.surf_ctrl.at[slot].set(res_sfn.ctrl),
             surf_valid=self.kfs.surf_valid.at[slot].set(True),
         )
-        self.points = mapper.cull_points(
-            self.points, self.kfs.point_id, self.kfs.valid
+        self.points, _n_culled = mapper.cull_points(
+            self.points, self.kfs.point_id, self.kfs.valid,
+            jnp.asarray(self.kf_counter, jnp.int32),
         )
         return True
 
@@ -655,7 +782,7 @@ class System:
         arrays["pose"] = np.asarray(self.pose)
         arrays["meta"] = np.asarray(
             [self.frame_id, self.frames_since_kf, self.template_ref_kf,
-             self.state.value]
+             self.state.value, self.kf_counter]
         )
         np.savez_compressed(path, **arrays)
 
@@ -678,28 +805,56 @@ class System:
         self.frames_since_kf = int(meta[1])
         self.template_ref_kf = int(meta[2])
         self.state = TrackingState(int(meta[3]))
+        self.kf_counter = int(meta[4]) if len(meta) > 4 else 1
 
     # ------------------------------------------------------------- metrics
 
-    def _record(self, timestamp, n_matches, n_inliers, is_kf, tmpl):
+    def _record(self, timestamp, n_matches, n_inliers, is_kf, tmpl,
+                n_local=0, n_dropped=0):
         self._metrics.append(
             dict(
                 frame=self.frame_id, t=timestamp, matches=n_matches,
                 inliers=n_inliers, keyframe=bool(is_kf),
                 template=bool(tmpl), state=self.state.name,
+                n_local=int(n_local), match_dropped=int(n_dropped),
             )
         )
 
     def write_metrics(self, outdir: str | None = None):
-        """Matches.txt-compatible output (Tracking.cc:150-167 text streams)."""
+        """The reference's tracking text-stream set (Tracking.cc:150-167):
+
+        - ``Matches.txt`` — our extended per-frame row (timestamp, matches,
+          inliers, keyframe/template flags, state); the reference's columns
+          (zero-padded timestamp, inliers, outliers, local-map point count,
+          Tracking.cc:1277) are recoverable from it.
+        - ``StatusTracking.txt`` — "timestamp 0|1" per frame (0 = tracked,
+          1 = lost).  The reference DECLARES this stream but never opens it
+          (Tracking.h:257 ``ofstream status`` has no .open call), so its
+          writes at Tracking.cc:554-559 go nowhere; we emit the file.
+        - ``MapPointUsage.txt`` — per-frame map-point usage (matched,
+          inliers, frustum candidates, live map points).  The reference
+          opens this file (Tracking.cc:167) but its only write is commented
+          out (Tracking.cc:621); we emit the usage rows it was meant for.
+        - ``Trajectory.txt`` plus the GT harness files (ErrorGTs etc.).
+        """
         self.flush()
         outdir = outdir or self.cfg.output_dir
         os.makedirs(outdir, exist_ok=True)
+        n_points_valid = int(np.asarray(jnp.sum(self.points.valid)))
         with open(os.path.join(outdir, "Matches.txt"), "w") as f:
             for m in self._metrics:
                 f.write(
                     f"{m['t']:.6f} {m['matches']} {m['inliers']} "
                     f"{int(m['keyframe'])} {int(m['template'])} {m['state']}\n"
+                )
+        with open(os.path.join(outdir, "StatusTracking.txt"), "w") as f:
+            for m in self._metrics:
+                f.write(f"{m['t']:.6f} {int(m['state'] != 'OK')}\n")
+        with open(os.path.join(outdir, "MapPointUsage.txt"), "w") as f:
+            for m in self._metrics:
+                f.write(
+                    f"{m['t']:.6f} {m['matches']} {m['inliers']} "
+                    f"{m.get('n_local', 0)} {n_points_valid}\n"
                 )
         with open(os.path.join(outdir, "Trajectory.txt"), "w") as f:
             for T in self.trajectory:

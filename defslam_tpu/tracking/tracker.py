@@ -34,6 +34,9 @@ class FrameMatches(NamedTuple):
     kp_of_point: jnp.ndarray  # (P,) int32 — frame keypoint for each map point
     dist: jnp.ndarray  # (P,) int32
     n_matches: jnp.ndarray  # () int32
+    n_dropped: jnp.ndarray  # () int32 — candidates past match_capacity
+    visible: jnp.ndarray  # (P,) bool — point was a frustum candidate
+    #   (MapPoint::IncreaseVisible semantics, Tracking::SearchLocalPoints)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -48,7 +51,14 @@ def match_points_to_frame(
     """Project map points with the pose prior and match to frame keypoints
     within a pixel window (SearchByProjection semantics: only points embedded
     in the template, DefORBmatcher.cc:331-332; window scales with pyramid
-    level like the reference's th*scaleFactor^level)."""
+    level like the reference's th*scaleFactor^level).
+
+    The candidate point set is COMPACTED before the (P, K) pair tensors:
+    only valid + template-embedded + in-frustum points can match, so gather
+    them into `tracking.match_capacity` slots first — the Hamming matrix and
+    window tensor then scale with the live candidate count, not the point
+    store capacity (2x HBM traffic cut at the shipped 4096/2048 sizes).
+    Overflow past the capacity is counted in `n_dropped` (never silent)."""
     w = cfg.tracking.projection_window if window is None else window
     pc = se3.transform(pose, points.xyz)
     uv = cam.project(K, pc)
@@ -56,12 +66,19 @@ def match_points_to_frame(
     in_img = cam.in_image(uv, cfg.camera.width, cfg.camera.height)
     ok_p = points.valid & (points.facet >= 0) & in_front & in_img
 
+    p_cap = points.capacity
+    n_c = min(cfg.tracking.match_capacity, p_cap)
+    sel, ok_c, n_dropped = matching.compact_select(ok_p, n_c)
+    uv_c = uv[sel]
+    desc_c = points.desc[sel]
+    angle_c = points.angle[sel]
+
     # per-keypoint window scaled by its pyramid level
     scale = cfg.orb.scale_factor ** feats.level.astype(jnp.float32)
-    d = jnp.abs(uv[:, None, :] - feats.xy[None, :, :])  # (P, K, 2)
+    d = jnp.abs(uv_c[:, None, :] - feats.xy[None, :, :])  # (Pc, K, 2)
     inside = jnp.max(d, axis=-1) <= w * scale[None, :]
     dist = matching.masked_hamming(
-        points.desc, feats.desc, ok_p, feats.valid, pair_mask=inside
+        desc_c, feats.desc, ok_c, feats.valid, pair_mask=inside
     )
     m = matching.best_match(
         dist,
@@ -73,11 +90,17 @@ def match_points_to_frame(
     # angle from the previous frame (LastFrame semantics of
     # DefORBmatcher::SearchByProjection + ComputeThreeMaxima,
     # DefORBmatcher.cc:304-443)
-    m = matching.rotation_consistency(points.angle, feats.angle, m)
+    m = matching.rotation_consistency(angle_c, feats.angle, m)
+    # scatter back to the full point axis
+    idx_ok = jnp.where(ok_c, m.idx, -1)
+    kp_full = jnp.full(p_cap, -1, jnp.int32).at[sel].set(idx_ok)
+    dist_full = jnp.full(p_cap, matching.INVALID).at[sel].set(m.dist)
     return FrameMatches(
-        kp_of_point=m.idx,
-        dist=m.dist,
-        n_matches=jnp.sum(m.idx >= 0),
+        kp_of_point=kp_full,
+        dist=dist_full,
+        n_matches=jnp.sum(idx_ok >= 0),
+        n_dropped=n_dropped,
+        visible=ok_p,
     )
 
 
@@ -130,6 +153,11 @@ def _sft_data_from_matches(
     return data, sel, sel_mask
 
 
+# module-level jitted entry (a per-call jax.jit wrapper would retrace the
+# compaction graph every frame on the multi-chip path)
+_sft_data_jit = jax.jit(_sft_data_from_matches, static_argnames=("cfg",))
+
+
 def _scatter_sft_result(res: sft.SfTResult, sel, sel_mask, p_cap: int):
     """Scatter compacted per-observation outputs back to the P point slots."""
     inlier = jnp.zeros(p_cap, bool).at[sel].set(res.inlier & sel_mask)
@@ -178,12 +206,14 @@ def sft_track_sharded(
     solver used when Config.parallel.enabled."""
     from defslam_tpu.parallel import sharded
 
-    assert cfg.orb.max_keypoints % mesh.devices.size == 0, (
-        "max_keypoints must divide over the mesh"
+    n_obs = min(cfg.orb.max_keypoints, points.capacity)
+    assert n_obs % mesh.devices.size == 0, (
+        "the sharded observation axis min(max_keypoints, max_map_points) "
+        "must divide over the mesh"
     )
-    data, sel, sel_mask = jax.jit(
-        _sft_data_from_matches, static_argnames=("cfg",)
-    )(points, matches, feats, tmpl, pose0, K, cfg)
+    data, sel, sel_mask = _sft_data_jit(
+        points, matches, feats, tmpl, pose0, K, cfg
+    )
     res = sharded.sft_solve_sharded(mesh, data, cfg, reg_temp=reg_temp)
     if min(cfg.orb.max_keypoints, points.capacity) == points.capacity:
         return res
@@ -218,17 +248,34 @@ def track_frame(
     res = sft_track(points, matches, feats, tmpl, pose, K, cfg)
     new_points = _reposition(points, res.nodes, cfg)
     # refresh per-point angles from the matched frame keypoints so the next
-    # frame's rotation histogram compares against THIS frame (LastFrame)
+    # frame's rotation histogram compares against THIS frame (LastFrame);
+    # bump the visible/found lifecycle counters (MapPoint::IncreaseVisible /
+    # IncreaseFound) feeding the mapping step's found-ratio culling
     kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
     new_points = new_points._replace(
         angle=jnp.where(
             matches.kp_of_point >= 0, feats.angle[kp], new_points.angle
-        )
+        ),
+        n_visible=new_points.n_visible + matches.visible.astype(jnp.int32),
+        n_found=new_points.n_found
+        + (res.inlier & (matches.kp_of_point >= 0)).astype(jnp.int32),
     )
-    stats = jnp.stack(
-        [matches.n_matches, jnp.sum(res.inlier).astype(jnp.int32)]
-    )
+    stats = _frame_stats(matches, res)
     return feats, matches, res, new_points, stats
+
+
+def _frame_stats(matches: FrameMatches, res) -> jnp.ndarray:
+    """[n_matches, n_inliers, n_local_candidates, n_match_dropped] —
+    n_local mirrors the reference's numberLocalMapPoints column of
+    Matches.txt (Tracking.cc:1277)."""
+    return jnp.stack(
+        [
+            matches.n_matches,
+            jnp.sum(res.inlier).astype(jnp.int32),
+            jnp.sum(matches.visible).astype(jnp.int32),
+            matches.n_dropped,
+        ]
+    )
 
 
 def track_frame_parallel(
@@ -254,18 +301,17 @@ def track_frame_parallel(
         window=window_scale * cfg.tracking.projection_window,
     )
     res = sft_track_sharded(mesh, points, matches, feats, tmpl, pose, K, cfg)
-    new_points = jax.jit(_reposition, static_argnames=("cfg",))(
-        points, res.nodes, cfg
-    )
+    new_points = reposition_points(points, res.nodes, cfg)
     kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
     new_points = new_points._replace(
         angle=jnp.where(
             matches.kp_of_point >= 0, feats.angle[kp], new_points.angle
-        )
+        ),
+        n_visible=new_points.n_visible + matches.visible.astype(jnp.int32),
+        n_found=new_points.n_found
+        + (res.inlier & (matches.kp_of_point >= 0)).astype(jnp.int32),
     )
-    stats = jnp.stack(
-        [matches.n_matches, jnp.sum(res.inlier).astype(jnp.int32)]
-    )
+    stats = _frame_stats(matches, res)
     return feats, matches, res, new_points, stats
 
 

@@ -183,3 +183,80 @@ def test_system_parallel_matches_single_device():
         assert (pa is None) == (pb is None), f"frame {t} tracked differently"
         if pa is not None:
             np.testing.assert_allclose(pa, pb, atol=5e-3)
+
+
+def test_schur_node_partition_matches_dense():
+    """Mesh-axis scaling (SURVEY 5.7): on a LARGE template (16x16 = 256
+    nodes, past the 10x10 the reference hard-codes, TriangularMesh.cc:63-65)
+    the sharded solver node-block-partitions the damped-normal solve (Schur
+    reduction to the camera+boundary system, psum'd over the mesh).  The
+    result must match the single-chip dense solve."""
+    from defslam_tpu.config import MeshConfig
+
+    cfg = Config(sft=SfTConfig(lm_iterations=12),
+                 mesh=MeshConfig(nodes_u=16, nodes_v=16))
+    topo = meshmod.grid_topology(16, 16)
+    DOM = jnp.asarray([-0.4, 0.4, -0.3, 0.3])
+    K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    nodes_rest = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, jnp.ones_like(u)], axis=-1), DOM, topo
+    )
+    tmpl = meshmod.make_template(nodes_rest, topo)
+    rng = np.random.default_rng(7)
+    n = 512
+    uvp = np.stack(
+        [rng.uniform(-0.38, 0.38, n), rng.uniform(-0.28, 0.28, n)], 1
+    ).astype(np.float32)
+    facet, bary, _ = meshmod.embed_uv(jnp.asarray(uvp), DOM, topo)
+    pts = meshmod.facet_positions(nodes_rest, topo, facet, bary)
+    obs = cam.project(K, pts) + jnp.asarray(
+        rng.normal(0, 0.8, (n, 2)), jnp.float32
+    )
+    data = sft.data_from_template(
+        tmpl, K, jnp.eye(4), obs_uv=obs, obs_face=facet, obs_bary=bary,
+        obs_invsigma2=jnp.ones(n), obs_mask=jnp.ones(n, bool), n_kp=float(n),
+    )
+    ref = sft.solve(data, topo, cfg)
+    mesh = sharded.make_mesh()
+    # the partition must actually engage on this shape
+    assert cfg.mesh.n_nodes >= 256 and cfg.mesh.nodes_u % mesh.devices.size == 0
+    res = sharded.sft_solve_sharded(mesh, data, cfg)
+    np.testing.assert_allclose(np.asarray(res.T), np.asarray(ref.T), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.nodes), np.asarray(ref.nodes), atol=2e-4
+    )
+
+
+def test_nonsquare_mesh_solves():
+    """mesh.nodes_u / nodes_v are real knobs: a non-square 12x8 template
+    tracks a deformed observation set (the reference cannot vary its grid,
+    TriangularMesh.cc:63-65)."""
+    from defslam_tpu.config import MeshConfig
+
+    cfg = Config(sft=SfTConfig(lm_iterations=15),
+                 mesh=MeshConfig(nodes_u=12, nodes_v=8))
+    topo = meshmod.grid_topology(12, 8)
+    DOM = jnp.asarray([-0.4, 0.4, -0.3, 0.3])
+    K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    nodes_rest = meshmod.grid_nodes_from_surface(
+        lambda u, v: jnp.stack([u, v, jnp.ones_like(u)], axis=-1), DOM, topo
+    )
+    tmpl = meshmod.make_template(nodes_rest, topo)
+    rng = np.random.default_rng(3)
+    n = 256
+    uvp = np.stack(
+        [rng.uniform(-0.38, 0.38, n), rng.uniform(-0.28, 0.28, n)], 1
+    ).astype(np.float32)
+    facet, bary, _ = meshmod.embed_uv(jnp.asarray(uvp), DOM, topo)
+    pts = meshmod.facet_positions(nodes_rest, topo, facet, bary)
+    obs = cam.project(K, pts)
+    data = sft.data_from_template(
+        tmpl, K, jnp.eye(4), obs_uv=obs, obs_face=facet, obs_bary=bary,
+        obs_invsigma2=jnp.ones(n), obs_mask=jnp.ones(n, bool), n_kp=float(n),
+    )
+    res = sft.solve(data, topo, cfg)
+    pts_est = meshmod.facet_positions(res.nodes, topo, facet, bary)
+    err = np.linalg.norm(
+        np.asarray(se3.transform(res.T, pts_est)) - np.asarray(pts), axis=1
+    )
+    assert np.median(err) < 0.01
