@@ -63,14 +63,18 @@ class OrbConfig:
     n_features: int = 1200
     scale_factor: float = 1.2
     n_levels: int = 8
+    # Two-threshold FAST (ORBextractor.cc:765-857): per grid tile, corners
+    # above ini_th are primary detections; a tile with nothing above ini_th
+    # retries at min_th (ops.fast.select_grid_topk admission rule).
     ini_th_fast: int = 20
     min_th_fast: int = 7
-    # Static per-frame keypoint capacity (padded + masked).
+    # Static per-frame keypoint capacity (padded + masked).  When
+    # max_keypoints < the total per-level budget, truncation preserves each
+    # level's proportional quota (never a global response top-k).
+    # NOTE: the reference's 64x48 frame grid (Frame.h FRAME_GRID_COLS/ROWS)
+    # has no knob here by design — windowed spatial queries are dense masked
+    # distance matrices (ops.matching.window_mask), not grid lookups.
     max_keypoints: int = 1536
-    # Frame grid used for windowed spatial queries
-    # (reference Frame.h FRAME_GRID_COLS=64, ROWS=48).
-    grid_cols: int = 64
-    grid_rows: int = 48
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +109,14 @@ class MappingConfig:
     bbs_MAC.h (13x15 control grid), NormalEstimator.cc:139 (<=200 iters)."""
 
     points_to_template: int = 70
+    # Sim3 registration acceptance gate.  DELIBERATE SEMANTIC DEVIATION from
+    # the reference: LocalMapping.chiLimit there bounds a g2o chi2 SUM over
+    # the registration edges (SurfaceRegistration.cc:126-135), which scales
+    # with the pair count and the map's metric scale; here it bounds the
+    # median registration residual RELATIVE to the median map-point range
+    # (mapping/registration.py:86-88) — scale-free and count-free, so one
+    # value works across sequences.  A reference YAML's chiLimit value must
+    # be retuned (the shipped default 0.07 targets this semantic).
     chi_limit: float = 0.07
     bending: float = 0.10
     schwarp_regularizer: float = 0.05

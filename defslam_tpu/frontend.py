@@ -57,6 +57,31 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float):
     return out
 
 
+def _level_quotas(avail: list[int], k: int) -> list[int]:
+    """Largest-remainder proportional quotas: split budget ``k`` over levels
+    with ``avail[i]`` candidates each, never exceeding a level's count."""
+    total = sum(avail)
+    raw = [k * a / total for a in avail]
+    q = [min(int(x), a) for x, a in zip(raw, avail)]
+    # hand leftover slots to the levels with spare candidates, largest
+    # fractional remainder first
+    rest = k - sum(q)
+    order = sorted(range(len(avail)), key=lambda i: raw[i] - int(raw[i]),
+                   reverse=True)
+    while rest > 0:
+        gave = False
+        for i in order:
+            if rest == 0:
+                break
+            if q[i] < avail[i]:
+                q[i] += 1
+                rest -= 1
+                gave = True
+        if not gave:
+            break
+    return q
+
+
 def _cell_size(h: int, w: int, budget: int) -> int:
     """Tile size giving ~2x budget candidate cells (>= 8 px)."""
     import math
@@ -90,7 +115,8 @@ def extract_features(img: jnp.ndarray, cfg: Config) -> Features:
         score = fast.nms3(fast.score_map(img_lv))
         cell = _cell_size(*img_lv.shape, budget)
         xy, resp = fast.select_grid_topk(
-            score, float(oc.min_th_fast), cell, budget
+            score, float(oc.min_th_fast), cell, budget,
+            ini_threshold=float(oc.ini_th_fast),
         )
         xs.append(xy)
         resps.append(resp)
@@ -139,9 +165,22 @@ def extract_features(img: jnp.ndarray, cfg: Config) -> Features:
     k = cfg.orb.max_keypoints
     n = cat.xy.shape[0]
     if n > k:
-        # keep the k strongest (static top-k), preserving per-level spread is
-        # approximated by response ranking
-        _, order = jax.lax.top_k(jnp.where(cat.valid, cat.response, -1.0), k)
+        # LEVEL-AWARE truncation: shrink each level's keypoint quota
+        # proportionally to its reference budget instead of a global
+        # response top-k (which starves coarse pyramid levels on
+        # texture-dense images — the reference's per-level budgets are
+        # fixed, ORBextractor.cc ctor + ComputeKeyPointsOctTree).  Each
+        # level's arrays are already response-sorted (lax.top_k), so the
+        # quota is a static slice.
+        used_budgets = [budgets[lv] for lv in used]
+        quotas = _level_quotas(used_budgets, k)
+        starts = np.concatenate([[0], np.cumsum(used_budgets)])
+        order = jnp.concatenate(
+            [
+                jnp.arange(starts[i], starts[i] + q, dtype=jnp.int32)
+                for i, q in enumerate(quotas)
+            ]
+        )
         cat = jax.tree.map(lambda a: a[order], cat)
     elif n < k:
         pad = k - n

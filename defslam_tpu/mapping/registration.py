@@ -82,7 +82,11 @@ def register(
     s2, R2, t2 = se3.horn_alignment(src, map_xyz, w2)
 
     res2 = jnp.linalg.norm(s2 * src @ R2.T + t2 - map_xyz, axis=-1)
-    # scale-free residual: relative to the median map-point range
+    # scale-free residual: relative to the median map-point range.
+    # DEVIATION (documented at MappingConfig.chi_limit): the reference gates
+    # a g2o chi2 SUM (SurfaceRegistration.cc:126-135); a relative median is
+    # invariant to pair count and metric scale, so chi_limit transfers
+    # across sequences — reference YAML chiLimit values need retuning.
     scene = masked_median(jnp.linalg.norm(map_xyz, axis=-1), mask)
     rel = masked_median(res2, mask) / jnp.maximum(scene, 1e-9)
     accepted = (n_pairs >= min_pairs) & (rel < chi_limit) & jnp.isfinite(rel)

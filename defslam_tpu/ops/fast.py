@@ -78,38 +78,60 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
 
 
 def select_grid_topk(
-    score: jnp.ndarray, threshold: float, cell: int, k: int
+    score: jnp.ndarray,
+    threshold: float,
+    cell: int,
+    k: int,
+    ini_threshold: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Spatially-distributed keypoint selection with static output shape.
 
-    Splits the score map into ``cell x cell`` tiles, takes each tile's best
-    pixel, then the global top-``k`` tiles by score.  Returns
-    (xy (k, 2) f32 in pixel coords, score (k,) f32); entries with score <=
-    threshold are invalid (mask = score > threshold).
+    Splits the score map into ``cell x cell`` tiles, takes each tile's top-2
+    pixels through the reference's TWO-THRESHOLD admission rule
+    (``ORBextractor.cc:765-857``: detect at iniTh=20 per cell, retry the
+    cell at minTh=7 only when it produced nothing), then the global
+    top-``k`` candidates by score:
 
-    This is the TPU-native stand-in for the reference's octree distribution
-    (ORBextractor.cc:765-857): same goal (budgeted, spread-out corners),
-    branchless implementation.
+    - a tile's best pixel is admitted when its score > ``threshold``
+      (min_th) — if it only clears min_th it IS the reference's retry
+      detection (the tile had nothing above ini_th);
+    - a tile's second pixel is admitted when it clears ``ini_threshold``
+      (the cell's iniTh detection found several corners) or when the tile's
+      best itself is below ini_th and the second clears min_th (the retry
+      pass returns every corner above minTh).
+
+    Returns (xy (k, 2) f32 in pixel coords, score (k,) f32); entries with
+    score 0 are invalid.
+
+    This is the TPU-native stand-in for the reference's octree distribution:
+    same goal (budgeted, spread-out corners), branchless implementation.
     """
     h, w = score.shape
+    if ini_threshold is None:
+        ini_threshold = threshold
     ph = (cell - h % cell) % cell
     pw = (cell - w % cell) % cell
     s = jnp.pad(score, ((0, ph), (0, pw)))
     gh, gw = s.shape[0] // cell, s.shape[1] // cell
     tiles = s.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, -1)
-    best = jnp.argmax(tiles, axis=1)
-    best_score = jnp.take_along_axis(tiles, best[:, None], axis=1)[:, 0]
-    top_score, top_idx = jax.lax.top_k(best_score, min(k, gh * gw))
-    cell_r = top_idx // gw
-    cell_c = top_idx % gw
-    in_r = best[top_idx] // cell
-    in_c = best[top_idx] % cell
-    y = cell_r * cell + in_r
-    x = cell_c * cell + in_c
+    top2_score, top2_idx = jax.lax.top_k(tiles, 2)  # (T, 2)
+    s1, s2 = top2_score[:, 0], top2_score[:, 1]
+    ok1 = s1 > threshold
+    ok2 = (s2 > ini_threshold) | ((s1 <= ini_threshold) & (s2 > threshold))
+    cand_score = jnp.concatenate(
+        [jnp.where(ok1, s1, 0.0), jnp.where(ok2, s2, 0.0)]
+    )
+    cand_idx = jnp.concatenate([top2_idx[:, 0], top2_idx[:, 1]])
+    n_cand = cand_score.shape[0]
+    top_score, top_c = jax.lax.top_k(cand_score, min(k, n_cand))
+    tile_id = top_c % (gh * gw)
+    in_tile = cand_idx[top_c]
+    y = (tile_id // gw) * cell + in_tile // cell
+    x = (tile_id % gw) * cell + in_tile % cell
     xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
-    valid_score = jnp.where(top_score > threshold, top_score, 0.0)
-    if k > gh * gw:  # pad to the static budget
-        pad = k - gh * gw
+    valid_score = top_score
+    if k > n_cand:  # pad to the static budget
+        pad = k - n_cand
         xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
         valid_score = jnp.concatenate([valid_score, jnp.zeros(pad, jnp.float32)])
     return xy, valid_score

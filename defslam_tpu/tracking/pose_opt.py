@@ -102,9 +102,12 @@ def relocalize(
 
     1. score every keyframe by dense descriptor-match votes
        (KeyFrameDatabase::DetectRelocalizationCandidates role);
-    2. for the best keyframe: frame-kp -> map-point matches through that
-       keyframe's observation table;
-    3. robust pose-only LM seeded at the keyframe's stored pose.
+    2. for each of the top-5 candidate keyframes (the reference tries up to
+       5 candidates with P4P RANSAC, Tracking.cc:1631-1799 — one bad
+       best-vote must not kill recovery): frame-kp -> map-point matches
+       through that keyframe's observation table;
+    3. robust pose-only LM seeded at each candidate's stored pose, vmapped
+       over the candidates; keep the candidate with the most inliers.
 
     Returns (ok () bool, T (4,4), n_inliers ()).
     """
@@ -122,21 +125,27 @@ def relocalize(
         return votes, m.idx
 
     votes, match_idx = jax.lax.map(score_kf, jnp.arange(f_cap))
-    best_kf = jnp.argmax(votes)
-    idx = match_idx[best_kf]  # (K,) frame-kp -> kf-kp
-    pid = jnp.where(
-        idx >= 0,
-        kfs.point_id[best_kf][jnp.clip(idx, 0, k_cap - 1)],
-        -1,
-    )
+    n_cand = min(5, f_cap)
+    cand_votes, cand_kf = jax.lax.top_k(votes, n_cand)
     p_cap = points.capacity
-    pidc = jnp.clip(pid, 0, p_cap - 1)
-    ok_obs = (pid >= 0) & points.valid[pidc]
-    pts_w = points.xyz[pidc]
     lv = feats.level.astype(jnp.float32)
     inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * lv))
-    res = solve_pose(
-        K, kfs.pose[best_kf], pts_w, feats.xy, inv_sigma2, ok_obs, cfg
-    )
-    ok = res.n_inliers >= cfg.tracking.min_inliers_ok
-    return ok, res.T, res.n_inliers
+
+    def try_candidate(kf_slot, cand_ok):
+        idx = match_idx[kf_slot]  # (K,) frame-kp -> kf-kp
+        pid = jnp.where(
+            idx >= 0, kfs.point_id[kf_slot][jnp.clip(idx, 0, k_cap - 1)], -1
+        )
+        pidc = jnp.clip(pid, 0, p_cap - 1)
+        ok_obs = (pid >= 0) & points.valid[pidc] & cand_ok
+        res = solve_pose(
+            K, kfs.pose[kf_slot], points.xyz[pidc], feats.xy,
+            inv_sigma2, ok_obs, cfg,
+        )
+        return res.T, res.n_inliers
+
+    cand_ok = (cand_votes > 0) & kfs.valid[cand_kf]
+    Ts, n_inl = jax.vmap(try_candidate)(cand_kf, cand_ok)
+    best = jnp.argmax(n_inl)
+    ok = n_inl[best] >= cfg.tracking.min_inliers_ok
+    return ok, Ts[best], n_inl[best]

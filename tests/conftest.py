@@ -30,3 +30,10 @@ jax.config.update(
                  ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "multihost: spawns two jax.distributed processes over localhost",
+    )

@@ -16,7 +16,9 @@ def _cfg(cam):
         sft=SfTConfig(lm_iterations=15),
         tracking=TrackingConfig(keyframe_period=4),
         capacity=CapacityConfig(max_map_points=512, max_keyframes=8),
-        mapping=MappingConfig(points_to_template=100000),
+        # re-templating ON (points_to_template at a reachable value): the
+        # checkpoint must round-trip the full NRSfM/re-template machinery
+        mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
     )
 
 

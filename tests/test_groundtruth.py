@@ -15,7 +15,9 @@ def _cfg(cam):
         sft=SfTConfig(lm_iterations=20),
         tracking=TrackingConfig(keyframe_period=6),
         capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
-        mapping=MappingConfig(points_to_template=100000),
+        # re-templating ON: GT RMSE asserts the accuracy of the full
+        # pipeline including template refresh
+        mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
         save_results=True,
     )
 

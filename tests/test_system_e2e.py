@@ -32,7 +32,9 @@ def tracked(seq):
         sft=SfTConfig(lm_iterations=25),
         tracking=TrackingConfig(keyframe_period=5),
         capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
-        mapping=MappingConfig(points_to_template=100000),  # no re-template here
+        # re-templating ON: the depth-accuracy assertion below covers the
+        # full NRSfM -> Sim3 -> re-embed -> re-anchor path, not just SfT
+        mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
     )
     sys_ = System(cfg)
     results = []
