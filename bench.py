@@ -79,6 +79,7 @@ def main():
     # warmup phase compiles every kernel incl. one keyframe+mapping step
     for t in range(n_warm):
         sys_.track_monocular(frames_dev[t], timestamp=float(t))
+    sys_.flush()  # drain warmup backlog: measure steady state, not compile/queue debt
 
     t0 = time.perf_counter()
     for t in range(n_warm, n_warm + n_meas):

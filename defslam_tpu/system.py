@@ -322,8 +322,10 @@ class System:
                 # this frame's dispatch used stale state — redo it
                 out = self._track_frame(feats_or_img)
         # deferred keyframe mapping decision (scalars only) — overlapped
-        # with this frame's already-dispatched device compute
-        self._finalize_pending_map()
+        # with this frame's already-dispatched device compute; non-forcing:
+        # while the mapping chain is still executing on device the host
+        # keeps streaming frames instead of blocking on the diag readback
+        self._finalize_pending_map(force=False)
         if not pipelined:
             return self._validate_and_commit(feats_or_img, out, timestamp)
         feats, matches, res, new_points, stats = out
@@ -336,6 +338,11 @@ class System:
         # placeholder counts; the deferred readback backfills the true
         # values in place (Matches.txt rows end up frame-ordered, -1-free)
         self._record(timestamp, -1, -1, False, False)
+        # start the device->host transfer of the deferred-validation scalars
+        # NOW so next frame's device_get is a local read instead of a full
+        # round trip (the tunnel RTT is a large fraction of the frame budget)
+        for a in (stats, res.T):
+            a.copy_to_host_async()
         self._pending = (feats_or_img, out, timestamp, backup,
                          len(self._metrics) - 1)
         # optimistic result: pose is the (device) SfT output, match counts
@@ -517,6 +524,8 @@ class System:
             )
             self.kfs, self.points, self.template, self.pose, diag = out
             self.kf_counter += 1
+            for a in jax.tree.leaves(diag):
+                a.copy_to_host_async()
             self._pending_map = (diag, len(self._metrics))
             if c.save_results and getattr(self, "_gt_eval", None) is not None:
                 # the GT harness evaluates per-keyframe angle errors
@@ -536,14 +545,23 @@ class System:
             return False
         return self._insert_keyframe_legacy(feats, matches, res)
 
-    def _finalize_pending_map(self):
+    def _finalize_pending_map(self, force: bool = True):
         """Deferred readback of the last keyframe step's decision scalars;
         backfills the keyframe's metrics row (template flag + truncation
         counters) and the host-side template bookkeeping.  Returns the host
-        MappingDiag, or None when nothing was pending."""
+        MappingDiag, or None when nothing was pending.
+
+        ``force=False`` (the per-frame poll): only finalize when the diag
+        arrays are already computed AND transferred — no host consumer needs
+        them before the next keyframe, so the host never blocks on the
+        mapping chain mid-stream."""
         if getattr(self, "_pending_map", None) is None:
             return None
         diag, row = self._pending_map
+        if not force and not all(
+            a.is_ready() for a in jax.tree.leaves(diag)
+        ):
+            return None
         self._pending_map = None
         d = jax.device_get(diag)
         accepted = bool(d.accepted)
