@@ -113,6 +113,10 @@ class System:
         #   the age reference for found-ratio culling of recent points)
         self._lost_count = 0
         self.trajectory: list[np.ndarray] = []
+        # per-keyframe template snapshots (frame_id, nodes) for the
+        # DefMapDrawer mesh-history view (viewer.export_template_history);
+        # device arrays, materialized only at export
+        self.template_history: list[tuple[int, object]] = []
 
     def restart(self):
         """System::Restart (System.cc:254-266): put the template back to its
@@ -527,6 +531,7 @@ class System:
             for a in jax.tree.leaves(diag):
                 a.copy_to_host_async()
             self._pending_map = (diag, len(self._metrics))
+            self._record_template_history()
             if c.save_results and getattr(self, "_gt_eval", None) is not None:
                 # the GT harness evaluates per-keyframe angle errors
                 # synchronously whenever the NRSfM chain ran
@@ -543,7 +548,17 @@ class System:
                     self._gt_eval.evaluate_keyframe_angles(self, int(d.kf_t))
                 return bool(d.accepted) if d is not None else False
             return False
-        return self._insert_keyframe_legacy(feats, matches, res)
+        updated = self._insert_keyframe_legacy(feats, matches, res)
+        self._record_template_history()
+        return updated
+
+    def _record_template_history(self, cap: int = 256):
+        """Keep the keyframe-time template state for the mesh-history view
+        (DefMapDrawer::MeshDrawershist); device array, no readback here."""
+        if self.template is not None:
+            self.template_history.append((self.frame_id, self.template.nodes))
+            if len(self.template_history) > cap:
+                del self.template_history[0]
 
     def _finalize_pending_map(self, force: bool = True):
         """Deferred readback of the last keyframe step's decision scalars;

@@ -47,8 +47,9 @@ def export_trajectory_tum(path: str, trajectory, timestamps=None):
 
 
 def snapshot(system, outdir: str, tag: str = ""):
-    """Dump the current template (deformed + rest) and trajectory
-    (DefMapDrawer's 'template now / at rest / history' views)."""
+    """Dump the current template (deformed + rest), trajectory and the
+    per-keyframe template history (DefMapDrawer's 'template now / at rest /
+    history' views, ``MeshDrawershist`` DefMapDrawer.h:81)."""
     os.makedirs(outdir, exist_ok=True)
     if system.template is not None:
         export_mesh_obj(
@@ -62,6 +63,18 @@ def snapshot(system, outdir: str, tag: str = ""):
     export_trajectory_tum(
         os.path.join(outdir, f"trajectory{tag}.txt"), system.trajectory
     )
+    export_template_history(system, outdir)
+
+
+def export_template_history(system, outdir: str):
+    """One OBJ per recorded keyframe-time template state
+    (``DefMapDrawer::MeshDrawershist`` parity: the reference keeps a mesh
+    drawer per keyframe showing the template as it was at that keyframe)."""
+    for frame_id, nodes in getattr(system, "template_history", []):
+        export_mesh_obj(
+            os.path.join(outdir, f"template_hist_{frame_id:06d}.obj"),
+            nodes, system.topo,
+        )
 
 
 def render_png(system, path: str):

@@ -108,3 +108,23 @@ def test_profiling_stages():
         assert rep["unit_test_stage"]["count"] == 1
     finally:
         profiling.enable(False)
+
+
+def test_template_history_export(tmp_path):
+    """DefMapDrawer::MeshDrawershist parity: per-keyframe template states
+    are recorded and export as one OBJ each."""
+    from defslam_tpu.template import mesh as meshmod
+    from defslam_tpu.viewer import export
+
+    class FakeSys:
+        pass
+
+    s = FakeSys()
+    s.topo = meshmod.grid_topology(4, 5)
+    rng = np.random.default_rng(0)
+    s.template_history = [
+        (3, rng.normal(size=(20, 3))), (7, rng.normal(size=(20, 3))),
+    ]
+    export.export_template_history(s, str(tmp_path))
+    assert (tmp_path / "template_hist_000003.obj").exists()
+    assert (tmp_path / "template_hist_000007.obj").exists()
