@@ -66,11 +66,25 @@ def main(argv=None):
                 sys_.track_monocular(img, ts)
                 _progress(sys_)
         elif args.mode == "stereo":
-            from defslam_tpu.io.datasets import load_stereo_sequence
+            import cv2
 
+            from defslam_tpu.config import load_raw_yaml
+            from defslam_tpu.io.datasets import (load_stereo_sequence,
+                                                 rectify_maps)
+
+            # raw pairs are rectified when the YAML carries LEFT./RIGHT.
+            # stereo calibration (stereo_groundtruth.cc:56-94); otherwise
+            # the sequence is assumed pre-rectified
+            maps = rectify_maps(
+                load_raw_yaml(args.yaml),
+                (cfg.camera.width, cfg.camera.height),
+            )
             for left, right, ts in load_stereo_sequence(
                 args.directory, start=args.start
             ):
+                if maps is not None:
+                    left = cv2.remap(left, *maps["l"], cv2.INTER_LINEAR)
+                    right = cv2.remap(right, *maps["r"], cv2.INTER_LINEAR)
                 sys_.track_monocular_gt(left, right, ts, baseline=args.baseline)
                 _progress(sys_)
         elif args.mode == "ct":

@@ -267,14 +267,46 @@ class Config:
         ``Camera.fx``-style keys (scripts/stereo0_template.yaml) so existing
         DefSLAM setting files keep working.
         """
-        with open(path) as f:
-            raw = yaml.safe_load(f) or {}
+        raw = load_raw_yaml(path)
         if any("." in k for k in raw):
             raw = _from_reference_yaml(raw)
         return _build(Config, raw)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+
+def load_raw_yaml(path: str) -> dict:
+    """Parse a settings file into a flat dict, tolerating the reference's
+    cv::FileStorage quirks: the '%YAML:1.0' directive (invalid for PyYAML),
+    %PLACEHOLDER% values (substituted by Twiddle.py), and '!!opencv-matrix'
+    nodes (returned as numpy arrays of the declared shape) — so the
+    reference's shipped YAMLs (scripts/*.yaml, calibration_files/*.yaml)
+    load unmodified.  Used by Config.from_yaml and the stereo rectification
+    loader (io.datasets.rectify_maps, LEFT.*/RIGHT.* keys)."""
+    import re
+
+    import numpy as np
+
+    with open(path) as f:
+        text = f.read()
+    lines = [
+        re.sub(r'^(\s*[\w.]+\s*:\s*)(%.*)$', r'\1"\2"', ln)
+        for ln in text.splitlines()
+        if not ln.lstrip().startswith("%YAML")
+    ]
+
+    class _CvLoader(yaml.SafeLoader):
+        pass
+
+    def _cv_matrix(loader, node):
+        m = loader.construct_mapping(node, deep=True)
+        return np.asarray(m["data"], np.float64).reshape(
+            int(m["rows"]), int(m["cols"])
+        )
+
+    _CvLoader.add_constructor("tag:yaml.org,2002:opencv-matrix", _cv_matrix)
+    return yaml.load("\n".join(lines), Loader=_CvLoader) or {}
 
 
 def _build(cls, raw: dict):

@@ -55,22 +55,44 @@ def load_stereo_sequence(
         yield _imread_gray(lp), _imread_gray(rp), _timestamp_of(lp)
 
 
-def rectify_maps(cfg_yaml: dict, size: tuple[int, int]):
-    """Stereo rectification maps from the reference's YAML calibration keys
-    (Camera.{K,D,R,P} left/right — stereo_groundtruth.cc:56-94)."""
+def rectify_maps(cfg_yaml: dict, size: tuple[int, int] | None = None):
+    """Stereo rectification maps from the reference's YAML calibration
+    (stereo_groundtruth.cc:56-94).  Accepts the reference's native
+    ``LEFT.K/D/R/P`` + ``RIGHT.*`` opencv-matrix keys (as parsed by
+    config.load_raw_yaml) or flat ``Camera.K_l``-style lists; returns
+    {"l": (map1, map2), "r": ...} for cv2.remap, or None when the file
+    carries no stereo calibration (pre-rectified sequences)."""
     import cv2
 
-    def mat(key, rows, cols):
-        return np.asarray(cfg_yaml[key], np.float64).reshape(rows, cols)
+    def mat(key_ref, key_flat, rows, cols):
+        v = cfg_yaml.get(key_ref, cfg_yaml.get(key_flat))
+        if v is None:
+            return None
+        return np.asarray(v, np.float64).reshape(rows, cols)
 
     maps = {}
-    for side in ("l", "r"):
-        K = mat(f"Camera.K_{side}", 3, 3)
-        D = np.asarray(cfg_yaml.get(f"Camera.D_{side}", [0, 0, 0, 0]), np.float64)
-        R = mat(f"Camera.R_{side}", 3, 3)
-        P = mat(f"Camera.P_{side}", 3, 4)
+    for ref_side, side in (("LEFT", "l"), ("RIGHT", "r")):
+        K = mat(f"{ref_side}.K", f"Camera.K_{side}", 3, 3)
+        R = mat(f"{ref_side}.R", f"Camera.R_{side}", 3, 3)
+        P = mat(f"{ref_side}.P", f"Camera.P_{side}", 3, 4)
+        if K is None or R is None or P is None:
+            return None
+        D = cfg_yaml.get(
+            f"{ref_side}.D", cfg_yaml.get(f"Camera.D_{side}", [0, 0, 0, 0])
+        )
+        D = np.asarray(D, np.float64).reshape(-1)
+        hw = size
+        if hw is None:
+            hw = (
+                int(cfg_yaml.get(f"{ref_side}.width", 0)),
+                int(cfg_yaml.get(f"{ref_side}.height", 0)),
+            )
+            if not all(hw):
+                raise ValueError(
+                    "rectify_maps needs size= or LEFT/RIGHT.width/height"
+                )
         maps[side] = cv2.initUndistortRectifyMap(
-            K, D, R, P[:3, :3], size, cv2.CV_32FC1
+            K, D, R, P[:3, :3], hw, cv2.CV_32FC1
         )
     return maps
 

@@ -128,3 +128,28 @@ def test_template_history_export(tmp_path):
     export.export_template_history(s, str(tmp_path))
     assert (tmp_path / "template_hist_000003.obj").exists()
     assert (tmp_path / "template_hist_000007.obj").exists()
+
+
+def test_reference_yaml_loads_and_rectifies():
+    """The reference's SHIPPED settings files (cv::FileStorage quirks:
+    %YAML directive, %PLACEHOLDER% values, !!opencv-matrix nodes) load
+    unmodified, and LEFT./RIGHT. stereo calibration produces usable
+    rectification maps (stereo_groundtruth.cc:56-94)."""
+    import os
+    ref = "/root/reference/scripts/stereo0_template.yaml"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not available")
+    from defslam_tpu.config import Config, load_raw_yaml
+    from defslam_tpu.io.datasets import rectify_maps
+
+    cfg = Config.from_yaml(ref)
+    assert cfg.camera.fx > 100 and cfg.orb.n_features == 1200
+    assert cfg.mapping.points_to_template == 70
+    raw = load_raw_yaml(ref)
+    assert raw["LEFT.K"].shape == (3, 3)
+    maps = rectify_maps(raw, (cfg.camera.width, cfg.camera.height))
+    assert maps is not None and maps["l"][0].shape == (
+        cfg.camera.height, cfg.camera.width,
+    )
+    # calibration-free YAML -> None (pre-rectified sequence)
+    assert rectify_maps({"Camera.fx": 500.0}) is None
