@@ -43,6 +43,12 @@ from defslam_tpu.tracking import sft as sftmod
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        # virtual-mesh dryruns: the default backend may be a single real
+        # chip while the requested topology lives on the CPU host platform
+        # (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+        devs = jax.devices("cpu")
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
     return Mesh(np.array(devs[:n]), ("dp",))
 
 

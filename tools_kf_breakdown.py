@@ -72,12 +72,13 @@ bench("densify_matches", lambda: mapper.densify_matches(
     sys_.kfs.retina[cp.pair_kf], sys_.kfs.kp_valid[cp.pair_kf], sys_.kfs.desc[cp.pair_kf],
     sys_.dom, cp.pair_valid, c))
 p_cap = c.capacity.max_map_points
-obs = bench("accumulate_obs_device", lambda: mapper.accumulate_obs_device(
+obs, _obs_dropped = bench("accumulate_obs_device", lambda: mapper.accumulate_obs_device(
     cp.pid_table, dps.mask, cp.uv1, dps.warped, dps.J12, dps.Huu, dps.Hvv,
     p_cap, mapper.OBS_CAP))
-nres = bench("solve_normals", lambda: mapper.solve_normals(obs, jnp.zeros((p_cap, 2))))
+nres = bench("solve_normals (compact)", lambda: mapper.solve_normals_compact(
+    obs, jnp.zeros((p_cap, 2)), min(c.orb.max_keypoints, p_cap)))
 pid_row = sys_.kfs.point_id[slot]
-solved_ok = nres.valid & (nres.n_obs > 0)
+solved_ok = mapper.normal_reliability_gate(nres, c.regularizer.reliability)
 bench("write+propagate normals", lambda: mapper.propagate_normals(
     *mapper.write_normals(sys_.kfs.norm_k, sys_.kfs.norm_valid, slot_j, pid_row,
                           nres.k, solved_ok)[:2], cp, dps, nres.k, solved_ok))
@@ -105,3 +106,13 @@ bench("rebuild_points", lambda: mapper.rebuild_points(
 matches2 = tracker.match_points_to_frame(sys_.points, sys_.pose, sys_.K, feats, c)
 bench("re-anchor sft (reg_temp=0)", lambda: tracker.sft_track(
     sys_.points, matches2, feats, sys_.template, sys_.pose, sys_.K, c, reg_temp=0.0))
+
+# the fused single-dispatch keyframe step (what the System actually runs)
+bench("keyframe_step FUSED", lambda: mapper.keyframe_step(
+    jax.tree.map(lambda a: a.copy(), kfs0),
+    jax.tree.map(lambda a: a.copy(), pts0),
+    sys_.template, sys_.pose, feats, matches.kp_of_point, res.inlier,
+    sys_.K, sys_.dom, sys_.bend_warp, sys_.bend_sfn,
+    jnp.asarray(sys_.template_ref_kf, jnp.int32),
+    jnp.asarray(sys_.kf_counter, jnp.int32),
+    jnp.asarray(99, jnp.int32), c))
