@@ -186,8 +186,10 @@ def correct_loop(
     """Essential-graph correction of all keyframe poses + map points.
 
     Edges: the odometry chain between consecutive keyframes (spanning-tree
-    role, measured from current relative poses) and the LOOP edge
-    slot<->cand with the measured Sim3.  The loop (candidate) keyframe is
+    role, measured from current relative poses), COVISIBILITY edges between
+    non-consecutive pairs sharing >= 100 observations
+    (Optimizer.cc:860-896), and the LOOP edge slot<->cand with the measured
+    Sim3.  The loop (candidate) keyframe is
     held fixed; the current keyframe's pose is seeded at the loop-implied
     corrected value (CorrectedSim3 of LoopClosing.cc:450-480).  Points move
     with their reference keyframe: X' = S_new_refkf^{-1}(S_old_refkf(X))
@@ -206,10 +208,35 @@ def correct_loop(
     e_i = order[:-1]
     e_j = order[1:]
     seq_mask = (jnp.arange(f_cap - 1) + 1) < n_valid
+    # --- covisibility edges (OptimizeEssentialGraph adds an edge for every
+    # pair sharing >= 100 observations, Optimizer.cc:860-896); consecutive
+    # pairs are excluded (already covered by the odometry chain, matching
+    # the reference's inserted-edges dedup)
+    p_cap = points.capacity
+    pid = jnp.where(
+        kfs.kp_valid & (kfs.point_id >= 0) & kfs.valid[:, None],
+        kfs.point_id, p_cap,
+    )
+    occ = (
+        jnp.zeros((f_cap, p_cap + 1), jnp.float32)
+        .at[jnp.arange(f_cap)[:, None], pid]
+        .set(1.0)[:, :p_cap]
+    )
+    occ = occ * points.valid[None, :].astype(jnp.float32)
+    shared = occ @ occ.T  # (F, F) shared-observation counts
+    pos = jnp.zeros(f_cap, jnp.int32).at[order].set(jnp.arange(f_cap))
+    iu, ju = jnp.triu_indices(f_cap, k=1)
+    consec = jnp.abs(pos[iu] - pos[ju]) == 1
+    counts = jnp.where(consec, 0.0, shared[iu, ju])
+    n_cov = min(3 * f_cap, iu.shape[0])
+    top_c, top_idx = jax.lax.top_k(counts, n_cov)
+    cov_i = iu[top_idx]
+    cov_j = ju[top_idx]
+    cov_mask = top_c >= 100.0
     # loop edge measured by the computed Sim3: S_slot_cand
-    edge_i = jnp.concatenate([e_i, jnp.asarray(cand)[None]])
-    edge_j = jnp.concatenate([e_j, jnp.asarray(slot)[None]])
-    edge_mask = jnp.concatenate([seq_mask, jnp.asarray(True)[None]])
+    edge_i = jnp.concatenate([e_i, cov_i, jnp.asarray(cand)[None]])
+    edge_j = jnp.concatenate([e_j, cov_j, jnp.asarray(slot)[None]])
+    edge_mask = jnp.concatenate([seq_mask, cov_mask, jnp.asarray(True)[None]])
 
     graph = ba.build_edges_from_poses(
         edge_i, edge_j, s_w, R_w, t_w, edge_mask,

@@ -23,13 +23,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the fused keyframe kernel is a large graph
-# compiled once per test config — cache hits make suite reruns fast
+# compiled once per test config — cache hits make suite reruns fast.
+# min_compile_time 0 caches EVERY compile: the XLA CPU compiler has
+# segfaulted under heavy cold-cache compile load (see
+# .claude/skills/verify/SKILL.md), and a cached entry skips the compiler
+# entirely on the next run.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def pytest_configure(config):
@@ -37,3 +41,20 @@ def pytest_configure(config):
         "markers",
         "multihost: spawns two jax.distributed processes over localhost",
     )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop compiled executables after every test module.
+
+    The XLA CPU compiler segfaults once enough compiled programs have
+    accumulated in one process (a full cold suite crashes deterministically
+    ~78 tests in, while every half-suite subset passes) — bounding the live
+    set avoids whatever code/constant-space limit it is hitting.  The
+    persistent disk cache (min_compile_time 0 above) makes the re-loads
+    cheap."""
+    yield
+    jax.clear_caches()
