@@ -194,11 +194,16 @@ class TrackingConfig:
     # Overflow is counted in FrameMatches.n_dropped, never silent.
     match_capacity: int = 2048
     # pipelined frame loop: overlap the host's stats readback of frame t
-    # with frame t+1's device compute (the reference's PARALLEL tracking/
-    # mapping overlap, set_MAC.h:22, re-expressed for async device
-    # dispatch).  Tracking failures are detected one frame late and rolled
-    # back; keyframe frames always synchronize.
+    # with up to `pipeline_depth` newer frames' device compute (the
+    # reference's PARALLEL tracking/mapping overlap, set_MAC.h:22,
+    # re-expressed for async device dispatch).  Tracking failures are
+    # detected up to `pipeline_depth` frames late and rolled back (the
+    # failed frame + newer in-flight frames replay synchronously);
+    # keyframe frames always synchronize.  Depth 2 fully hides a
+    # host<->device round trip that is longer than one frame's device
+    # compute (e.g. a tunneled TPU); depth 1 = the round-2 behavior.
     pipelined: bool = True
+    pipeline_depth: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

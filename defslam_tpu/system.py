@@ -89,7 +89,7 @@ class System:
             self.mesh = sharded.make_mesh(c.parallel.n_devices or None)
         else:
             self.mesh = None
-        self._pending = None  # in-flight pipelined frame (see _track)
+        self._pending: list = []  # in-flight pipelined frames (see _track)
         self.reset()
 
     # ----------------------------------------------------------- lifecycle
@@ -98,7 +98,7 @@ class System:
         """Full map reset (System::Reset -> Tracking/DefLocalMapping reset).
         Any in-flight pipelined frame is dropped (the map it tracked against
         is being destroyed)."""
-        self._pending = None
+        self._pending = []
         self._pending_map = None
         self.kf_counter = 0
         self.kfs = store.empty_keyframes(self.cfg)
@@ -299,15 +299,17 @@ class System:
         )
 
     def _track(self, feats_or_img, timestamp: float) -> FrameResult:
-        """Per-frame tracking with a one-frame pipeline: this frame is
-        dispatched FIRST, then the previous in-flight frame's stats
-        readback (one host<->device round trip) overlaps this frame's
-        device compute — the reference's PARALLEL-mode overlap
-        (System.cc:140-142) re-expressed for async dispatch.  Keyframe
-        frames synchronize (the mapping step swaps stores the in-flight
-        frame was not computed against); tracking failures are detected one
-        frame late, rolled back from a state backup, and reprocessed with
-        the exact synchronous retry ladder."""
+        """Per-frame tracking with a depth-D frame pipeline
+        (``tracking.pipeline_depth``): this frame is dispatched FIRST, then
+        the OLDEST in-flight frame's stats readback (one host<->device
+        round trip) overlaps up to D frames of device compute — the
+        reference's PARALLEL-mode overlap (System.cc:140-142) re-expressed
+        for async dispatch.  Keyframe frames synchronize (the mapping step
+        swaps stores the in-flight frames were not computed against);
+        tracking failures are detected up to D frames late, rolled back
+        from a state backup, and the failed frame plus every newer
+        in-flight frame are reprocessed through the exact synchronous retry
+        ladder, in frame order."""
         c = self.cfg
         will_kf = (
             not self._localization_only
@@ -319,11 +321,13 @@ class System:
             and self.state == TrackingState.OK
         )
         out = self._track_frame(feats_or_img)
-        if self._pending is not None:
-            ok_prev = self._finalize_pending()
-            if not ok_prev:
-                # previous frame failed: state was rolled back + recovered;
-                # this frame's dispatch used stale state — redo it
+        depth = max(1, c.tracking.pipeline_depth)
+        target = depth - 1 if pipelined else 0
+        while len(self._pending) > target:
+            if not self._finalize_pending():
+                # an in-flight frame failed: state was rolled back and the
+                # whole queue recovered synchronously; this frame's
+                # dispatch used stale state — redo it
                 out = self._track_frame(feats_or_img)
         # deferred keyframe mapping decision (scalars only) — overlapped
         # with this frame's already-dispatched device compute; non-forcing:
@@ -343,30 +347,31 @@ class System:
         # values in place (Matches.txt rows end up frame-ordered, -1-free)
         self._record(timestamp, -1, -1, False, False)
         # start the device->host transfer of the deferred-validation scalars
-        # NOW so next frame's device_get is a local read instead of a full
+        # NOW so the later device_get is a local read instead of a full
         # round trip (the tunnel RTT is a large fraction of the frame budget)
         for a in (stats, res.T):
             a.copy_to_host_async()
-        self._pending = (feats_or_img, out, timestamp, backup,
-                         len(self._metrics) - 1)
+        self._pending.append((feats_or_img, out, timestamp, backup,
+                              len(self._metrics) - 1))
         # optimistic result: pose is the (device) SfT output, match counts
         # are unknown until the deferred readback (-1 sentinels); the true
         # counts land in the metrics at finalization
         return FrameResult(res.T, TrackingState.OK, -1, -1, False, False)
 
     def flush(self):
-        """Finalize any in-flight pipelined frame and any pending keyframe
+        """Finalize all in-flight pipelined frames and any pending keyframe
         mapping decision (blocking)."""
-        if getattr(self, "_pending", None) is not None:
+        while getattr(self, "_pending", None):
             self._finalize_pending()
         self._finalize_pending_map()
 
     def _finalize_pending(self) -> bool:
-        """Deferred validation of the in-flight frame.  Returns False when
-        the frame failed tracking — state has then been rolled back and
-        reprocessed through the synchronous retry/relocalize ladder."""
-        img, out, timestamp, backup, row = self._pending
-        self._pending = None
+        """Deferred validation of the OLDEST in-flight frame.  Returns
+        False when that frame failed tracking — state has then been rolled
+        back and the failed frame plus every newer in-flight frame were
+        reprocessed through the synchronous retry/relocalize ladder (the
+        queue is empty afterwards)."""
+        img, out, timestamp, backup, row = self._pending.pop(0)
         c = self.cfg
         feats, matches, res, new_points, stats = out
         stats_h, pose_h = jax.device_get((stats, res.T))
@@ -382,15 +387,25 @@ class System:
             )
             self._maybe_draw_frame(img, feats, matches)
             return True
-        # rollback the optimistic commit and reprocess synchronously (`out`
-        # was dispatched from exactly the backup state, so the ladder sees
-        # the same inputs the synchronous path would have); the optimistic
-        # metrics row is replaced by the retry outcome in place
+        # rollback the optimistic commits and reprocess synchronously, in
+        # frame order: the failed frame re-uses its dispatched `out` (it
+        # was computed from exactly the backup state, so the ladder sees
+        # the same inputs the synchronous path would have); newer in-flight
+        # frames were computed from now-invalid state and re-dispatch.
+        # Each frame's optimistic metrics row is replaced in place.
+        rest = self._pending
+        self._pending = []
         self.pose, self.template, self.points, self.frames_since_kf = backup
-        n_rows = len(self._metrics)
-        self._validate_and_commit(img, out, timestamp)
-        if len(self._metrics) > n_rows:
-            self._metrics[row] = self._metrics.pop()
+        replay = [(img, out, timestamp, row)] + [
+            (im, None, ts, rw) for im, _out, ts, _bk, rw in rest
+        ]
+        for im, out_i, ts, rw in replay:
+            if out_i is None:
+                out_i = self._track_frame(im)
+            n_rows = len(self._metrics)
+            self._validate_and_commit(im, out_i, ts)
+            if len(self._metrics) > n_rows:
+                self._metrics[rw] = self._metrics.pop()
         return False
 
     def _validate_and_commit(self, feats_or_img, out, timestamp: float) -> FrameResult:
