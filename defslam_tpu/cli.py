@@ -66,27 +66,36 @@ def main(argv=None):
                 sys_.track_monocular(img, ts)
                 _progress(sys_)
         elif args.mode == "stereo":
-            import cv2
-
+            from defslam_tpu import native
             from defslam_tpu.config import load_raw_yaml
-            from defslam_tpu.io.datasets import (load_stereo_sequence,
-                                                 rectify_maps)
+            from defslam_tpu.io.datasets import (rectify_maps,
+                                                 stereo_pair_paths)
 
             # raw pairs are rectified when the YAML carries LEFT./RIGHT.
             # stereo calibration (stereo_groundtruth.cc:56-94); otherwise
-            # the sequence is assumed pre-rectified
+            # the sequence is assumed pre-rectified.  Decode+rectify run in
+            # the native prefetcher's threads (native/frame_pipeline.cc),
+            # never on the tracking thread — FramePipeline falls back to
+            # in-thread OpenCV when the shared library is unavailable.
             maps = rectify_maps(
                 load_raw_yaml(args.yaml),
                 (cfg.camera.width, cfg.camera.height),
             )
-            for left, right, ts in load_stereo_sequence(
-                args.directory, start=args.start
-            ):
-                if maps is not None:
-                    left = cv2.remap(left, *maps["l"], cv2.INTER_LINEAR)
-                    right = cv2.remap(right, *maps["r"], cv2.INTER_LINEAR)
-                sys_.track_monocular_gt(left, right, ts, baseline=args.baseline)
+            lp, rp, ts = stereo_pair_paths(args.directory, start=args.start)
+            w, h = cfg.camera.width, cfg.camera.height
+            pipe_l = native.FramePipeline(
+                lp, w, h, rectify_maps=maps["l"] if maps else None
+            )
+            pipe_r = native.FramePipeline(
+                rp, w, h, rectify_maps=maps["r"] if maps else None
+            )
+            for (i, left), (_, right) in zip(pipe_l, pipe_r):
+                sys_.track_monocular_gt(
+                    left, right, ts[i], baseline=args.baseline
+                )
                 _progress(sys_)
+            pipe_l.close()
+            pipe_r.close()
         elif args.mode == "ct":
             from defslam_tpu.io.datasets import load_ct_sequence
 

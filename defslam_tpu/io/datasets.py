@@ -44,15 +44,28 @@ def load_stereo_sequence(
     The reference starts at frame 200 of the Mandala sequences
     (stereo_groundtruth.cc:113); pass start=200 for parity.
     """
+    lp, rp, ts = stereo_pair_paths(directory, start)
+    for left, right, t in zip(lp, rp, ts):
+        yield _imread_gray(left), _imread_gray(right), t
+
+
+def stereo_pair_paths(directory: str, start: int = 0):
+    """(left_paths, right_paths, timestamps) of a DefSLAMGT-layout
+    directory — the path-level view used by the native prefetching
+    FramePipeline (defslam_tpu.native)."""
     lefts = sorted(
         glob.glob(os.path.join(directory, "stereo_im_l_*.png")),
         key=_timestamp_of,
     )
-    for lp in lefts[start:]:
-        rp = lp.replace("stereo_im_l_", "stereo_im_r_")
-        if not os.path.exists(rp):
+    lp, rp, ts = [], [], []
+    for left in lefts[start:]:
+        right = left.replace("stereo_im_l_", "stereo_im_r_")
+        if not os.path.exists(right):
             continue
-        yield _imread_gray(lp), _imread_gray(rp), _timestamp_of(lp)
+        lp.append(left)
+        rp.append(right)
+        ts.append(_timestamp_of(left))
+    return lp, rp, ts
 
 
 def rectify_maps(cfg_yaml: dict, size: tuple[int, int] | None = None):

@@ -153,3 +153,34 @@ def test_reference_yaml_loads_and_rectifies():
     )
     # calibration-free YAML -> None (pre-rectified sequence)
     assert rectify_maps({"Camera.fx": 500.0}) is None
+
+
+def test_stereo_cli_e2e_reference_layout(tmp_path):
+    """DefSLAMGT app parity end-to-end: generate a reference-layout stereo
+    sequence (stereo_im_l_<usec>.png pairs + flat-key settings.yaml), run
+    the stereo CLI (native FramePipeline prefetch path), and check the full
+    GT metric-file set appears."""
+    import defslam_tpu.cli as cli
+    from defslam_tpu.tools import make_synth_dataset
+
+    data = tmp_path / "seq"
+    make_synth_dataset.main([
+        str(data), "--frames", "8", "--width", "160", "--height", "120",
+    ])
+    # point the settings at a writable outdir + shrink budgets for CI speed
+    y = data / "settings.yaml"
+    txt = y.read_text()
+    out = tmp_path / "out"
+    txt += (
+        f"\nFile.outputdir: {out}\nViewer.SaveResults: 1\n"
+        "ORBextractor.nFeatures: 300\n"
+    )
+    y.write_text(txt)
+    rc = cli.main(["stereo", str(y), str(data), "--start", "0"])
+    assert rc == 0
+    assert (out / "Matches.txt").exists()
+    assert (out / "ErrorGTs0.txt").exists()
+    assert (out / "ScaleVariation.txt").exists()
+    assert (out / "StatusTracking.txt").exists()
+    rows = (out / "Matches.txt").read_text().strip().splitlines()
+    assert len(rows) == 8 and all(r.endswith("OK") for r in rows)
