@@ -24,6 +24,11 @@ def main(argv=None):
     mono = sub.add_parser("mono", help="monocular video/camera (DefSLAM app)")
     mono.add_argument("yaml")
     mono.add_argument("source")
+    mono.add_argument(
+        "--orbslam", action="store_true",
+        help="rigid ORB-SLAM2 comparison mode on the same input plumbing "
+             "(the reference's compile-time '#define ORBSLAM', set_MAC.h:24)",
+    )
 
     st = sub.add_parser("stereo", help="stereo GT sequence (DefSLAMGT app)")
     st.add_argument("yaml")
@@ -57,6 +62,31 @@ def main(argv=None):
             _progress(sys_)
     else:
         cfg = Config.from_yaml(args.yaml)
+        if args.mode == "mono" and args.orbslam:
+            # A/B baseline: stock rigid ORB-SLAM2 pipeline on the same
+            # input plumbing (tracking -> triangulation -> local BA ->
+            # culling -> loop closing), rigid/system.py
+            import os
+
+            from defslam_tpu.io.datasets import load_video
+            from defslam_tpu.rigid.system import RigidSystem
+
+            rsys = RigidSystem(cfg)
+            src = int(args.source) if args.source.isdigit() else args.source
+            n = 0
+            for img, ts in load_video(src):
+                rsys.track_monocular(img, ts)
+                n += 1
+                print(f"\rframe {n - 1:5d} [{rsys.state.name:>15s}]",
+                      end="", flush=True)
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            rsys.write_trajectory(
+                os.path.join(cfg.output_dir, "Trajectory.txt")
+            )
+            dt = time.perf_counter() - t_start
+            print(f"\nprocessed {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps); "
+                  f"results in {cfg.output_dir}")
+            return 0
         sys_ = System(cfg)
         if args.mode == "mono":
             from defslam_tpu.io.datasets import load_video

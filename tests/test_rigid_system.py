@@ -205,3 +205,34 @@ def test_close_loop_corrects_drift():
     np.testing.assert_allclose(
         np.asarray(pts2.xyz[:100]), X, atol=1e-3
     )
+
+
+def test_orbslam_cli_mode(tmp_path, monkeypatch):
+    """The CLI exposes the reference's '#define ORBSLAM' A/B baseline as
+    `mono --orbslam` on the same input plumbing."""
+    import defslam_tpu.cli as cli
+    from defslam_tpu.io import datasets
+
+    seq = make_sequence(
+        n_frames=8, height=160, width=200, max_amp=0.0,
+        camera_motion=0.5, seed=3,
+    )
+
+    def fake_video(_src):
+        for t in range(8):
+            yield np.asarray(seq.frames[t]), float(t)
+
+    monkeypatch.setattr(datasets, "load_video", fake_video)
+    y = tmp_path / "s.yaml"
+    cam_ = seq.camera
+    y.write_text(
+        f"Camera.fx: {cam_.fx}\nCamera.fy: {cam_.fy}\n"
+        f"Camera.cx: {cam_.cx}\nCamera.cy: {cam_.cy}\n"
+        f"Camera.width: {cam_.width}\nCamera.height: {cam_.height}\n"
+        "ORBextractor.nFeatures: 400\n"
+        f"File.outputdir: {tmp_path / 'out'}\n"
+    )
+    rc = cli.main(["mono", str(y), "0", "--orbslam"])
+    assert rc == 0
+    traj = (tmp_path / "out" / "Trajectory.txt").read_text().strip()
+    assert len(traj.splitlines()) >= 4
