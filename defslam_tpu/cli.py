@@ -134,6 +134,9 @@ def main(argv=None):
                 _progress(sys_)
 
     sys_.write_metrics()
+    from defslam_tpu import profiling
+
+    profiling.print_report()  # no-op unless DEFSLAM_PROFILE=1
     from defslam_tpu.viewer import export
 
     export.snapshot(sys_, sys_.cfg.output_dir)

@@ -152,9 +152,17 @@ def covis_pairs(
     ).astype(jnp.int32)
 
     # up to PAIR_CAP shared points per pair (lowest point ids first — the
-    # deterministic tie-break of top_k over the 0/1 membership mask)
+    # deterministic tie-break of top_k over the 0/1 membership mask); tiny
+    # configs with fewer point slots than PAIR_CAP pad up to the static
+    # table width
     sh_sel = shared[pair_kf]  # (NP, P)
-    ones, pid_sel = jax.lax.top_k(sh_sel.astype(jnp.int32), PAIR_CAP)
+    ones, pid_sel = jax.lax.top_k(
+        sh_sel.astype(jnp.int32), min(PAIR_CAP, p_cap)
+    )
+    if p_cap < PAIR_CAP:
+        pad = PAIR_CAP - p_cap
+        ones = jnp.pad(ones, ((0, 0), (0, pad)))
+        pid_sel = jnp.pad(pid_sel, ((0, 0), (0, pad)))
     sel_ok = (ones > 0) & pair_valid[:, None]
     kp_new = inv_new[pid_sel]  # (NP, C)
     kp_i = inv_all[pair_kf[:, None], pid_sel]

@@ -320,15 +320,19 @@ class System:
             and not will_kf
             and self.state == TrackingState.OK
         )
-        out = self._track_frame(feats_or_img)
+        from defslam_tpu import profiling
+
+        with profiling.stage("frame.dispatch"):
+            out = self._track_frame(feats_or_img)
         depth = max(1, c.tracking.pipeline_depth)
         target = depth - 1 if pipelined else 0
-        while len(self._pending) > target:
-            if not self._finalize_pending():
-                # an in-flight frame failed: state was rolled back and the
-                # whole queue recovered synchronously; this frame's
-                # dispatch used stale state — redo it
-                out = self._track_frame(feats_or_img)
+        with profiling.stage("frame.finalize"):
+            while len(self._pending) > target:
+                if not self._finalize_pending():
+                    # an in-flight frame failed: state was rolled back and
+                    # the whole queue recovered synchronously; this frame's
+                    # dispatch used stale state — redo it
+                    out = self._track_frame(feats_or_img)
         # deferred keyframe mapping decision (scalars only) — overlapped
         # with this frame's already-dispatched device compute; non-forcing:
         # while the mapping chain is still executing on device the host
@@ -530,17 +534,20 @@ class System:
         Returns the template-updated flag for the LEGACY path only; the
         fused path reports it through the deferred MappingDiag (metrics are
         backfilled at finalization)."""
+        from defslam_tpu import profiling
+
         c = self.cfg
         if self.mesh is None:
             self._finalize_pending_map()
-            out = mapper.keyframe_step(
-                self.kfs, self.points, self.template, self.pose, feats,
-                matches.kp_of_point, res.inlier, self.K, self.dom,
-                self.bend_warp, self.bend_sfn,
-                jnp.asarray(self.template_ref_kf, jnp.int32),
-                jnp.asarray(self.kf_counter, jnp.int32),
-                jnp.asarray(self.frame_id, jnp.int32), c,
-            )
+            with profiling.stage("keyframe.dispatch"):
+                out = mapper.keyframe_step(
+                    self.kfs, self.points, self.template, self.pose, feats,
+                    matches.kp_of_point, res.inlier, self.K, self.dom,
+                    self.bend_warp, self.bend_sfn,
+                    jnp.asarray(self.template_ref_kf, jnp.int32),
+                    jnp.asarray(self.kf_counter, jnp.int32),
+                    jnp.asarray(self.frame_id, jnp.int32), c,
+                )
             self.kfs, self.points, self.template, self.pose, diag = out
             self.kf_counter += 1
             for a in jax.tree.leaves(diag):

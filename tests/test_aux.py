@@ -184,3 +184,55 @@ def test_stereo_cli_e2e_reference_layout(tmp_path):
     assert (out / "StatusTracking.txt").exists()
     rows = (out / "Matches.txt").read_text().strip().splitlines()
     assert len(rows) == 8 and all(r.endswith("OK") for r in rows)
+
+
+def test_autotune_evaluate_smoke():
+    """The twiddle autotuner's objective function runs a System over frames
+    and returns a finite scalar (scripts/Twiddle.py role)."""
+    from defslam_tpu.config import (
+        CapacityConfig, Config, OrbConfig, SfTConfig, TrackingConfig,
+    )
+    from defslam_tpu.io.synthetic import make_sequence
+    from defslam_tpu.tools import autotune
+
+    seq = make_sequence(n_frames=5, height=100, width=120, max_amp=0.04)
+    cfg = Config(
+        camera=seq.camera,
+        orb=OrbConfig(n_features=150, n_levels=2, max_keypoints=192),
+        sft=SfTConfig(lm_iterations=8),
+        tracking=TrackingConfig(keyframe_period=4),
+        capacity=CapacityConfig(max_map_points=256, max_keyframes=4),
+    )
+    score = autotune.evaluate(cfg, seq.frames, seq.depths)
+    assert np.isfinite(score)
+
+
+def test_profiling_stage_report_in_system():
+    """DEFSLAM_PROFILE stage timers accumulate over System tracking."""
+    from defslam_tpu import profiling
+    from defslam_tpu.config import (
+        CapacityConfig, Config, OrbConfig, SfTConfig, TrackingConfig,
+    )
+    from defslam_tpu.io.synthetic import make_sequence
+    from defslam_tpu.system import System
+
+    seq = make_sequence(n_frames=5, height=100, width=120, max_amp=0.04)
+    cfg = Config(
+        camera=seq.camera,
+        orb=OrbConfig(n_features=150, n_levels=2, max_keypoints=192),
+        sft=SfTConfig(lm_iterations=8),
+        tracking=TrackingConfig(keyframe_period=4),
+        capacity=CapacityConfig(max_map_points=256, max_keyframes=4),
+    )
+    profiling.enable(True)
+    profiling.report(reset=True)
+    try:
+        sys_ = System(cfg)
+        for t in range(5):
+            sys_.track_monocular(seq.frames[t], float(t))
+        sys_.flush()
+        rows = profiling.report(reset=True)
+    finally:
+        profiling.enable(False)
+    assert "frame.dispatch" in rows and rows["frame.dispatch"]["count"] >= 4
+    assert "keyframe.dispatch" in rows
