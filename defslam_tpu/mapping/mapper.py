@@ -308,14 +308,16 @@ def densify_matches(
     return jax.vmap(one)(ctrls, retina2, valid2, desc2, pair_valid)
 
 
-@jax.jit
-def solve_normals(obs: nrm.PairObs, k_init: jnp.ndarray) -> nrm.NormalResult:
-    return nrm.solve_k1k2(obs, k_init)
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def solve_normals(
+    obs: nrm.PairObs, k_init: jnp.ndarray, num_iters: int = 30
+) -> nrm.NormalResult:
+    return nrm.solve_k1k2(obs, k_init, num_iters=num_iters)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
+@functools.partial(jax.jit, static_argnames=("capacity", "num_iters"))
 def solve_normals_compact(
-    obs: nrm.PairObs, k_init: jnp.ndarray, capacity: int
+    obs: nrm.PairObs, k_init: jnp.ndarray, capacity: int, num_iters: int = 30
 ) -> nrm.NormalResult:
     """solve_normals with the point axis COMPACTED to `capacity` slots
     before the vmapped LM: only points with >=1 pair observation can solve,
@@ -328,12 +330,12 @@ def solve_normals_compact(
 
     p_cap = k_init.shape[0]
     if capacity >= p_cap:
-        return nrm.solve_k1k2(obs, k_init)
+        return nrm.solve_k1k2(obs, k_init, num_iters=num_iters)
     has = jnp.any(obs.mask, axis=1)
     sel, sel_ok, _ = matching.compact_select(has, capacity)
     obs_c = jax.tree.map(lambda a: a[sel], obs)
     obs_c = obs_c._replace(mask=obs_c.mask & sel_ok[:, None])
-    r = nrm.solve_k1k2(obs_c, k_init[sel])
+    r = nrm.solve_k1k2(obs_c, k_init[sel], num_iters=num_iters)
     k = jnp.zeros((p_cap, 2), k_init.dtype).at[sel].set(r.k)
     cov_init = jnp.tile(
         (jnp.eye(2, dtype=r.cov.dtype) * 1e12)[None], (p_cap, 1, 1)
@@ -866,7 +868,8 @@ def keyframe_step(
         dps.Huu, dps.Hvv, p_cap, OBS_CAP,
     )
     nres = solve_normals_compact(
-        obs, points.norm_k0, min(feats.capacity, p_cap)
+        obs, points.norm_k0, min(feats.capacity, p_cap),
+        num_iters=c.mapping.normal_lm_iterations,
     )
     # covNorm reliability gate (NormalEstimator.cc:159: the covariance
     # diagonal must be below Regularizer.Reliability before a normal is

@@ -60,26 +60,26 @@ def _shard(mesh: Mesh, x, spec: P):
 
 
 @functools.lru_cache(maxsize=16)
-def _normal_solves_fn(mesh: Mesh):
-    """Jitted sharded normal solver, memoized per mesh so the trace cache
-    is shared across frames (a fresh jax.jit wrapper per call would retrace
-    the vmapped LM every keyframe)."""
+def _normal_solves_fn(mesh: Mesh, num_iters: int = 30):
+    """Jitted sharded normal solver, memoized per (mesh, budget) so the
+    trace cache is shared across frames (a fresh jax.jit wrapper per call
+    would retrace the vmapped LM every keyframe)."""
     dp = NamedSharding(mesh, P("dp"))
     return jax.jit(
-        nrm.solve_k1k2,
+        functools.partial(nrm.solve_k1k2, num_iters=num_iters),
         in_shardings=(nrm.PairObs(dp, dp, dp, dp, dp, dp), dp),
     )
 
 
 def sharded_normal_solves(
-    mesh: Mesh, obs: nrm.PairObs, k_init: jnp.ndarray
+    mesh: Mesh, obs: nrm.PairObs, k_init: jnp.ndarray, num_iters: int = 30
 ) -> nrm.NormalResult:
     """Per-point normal solves sharded over the point axis (dp)."""
     p = k_init.shape[0]
     assert p % mesh.devices.size == 0, "pad the point axis to the mesh size"
     obs_sharded = jax.tree.map(lambda a: _shard(mesh, a, P("dp")), obs)
     k0 = _shard(mesh, k_init, P("dp"))
-    return _normal_solves_fn(mesh)(obs_sharded, k0)
+    return _normal_solves_fn(mesh, num_iters)(obs_sharded, k0)
 
 
 @functools.lru_cache(maxsize=16)
@@ -309,9 +309,11 @@ def _sft_sharded_fn(mesh: Mesh, cfg: Config, iters: int, rt: float):
                 nodes = jnp.where(accept, nodes_new, nodes)
                 cost = jnp.where(accept, c_new, cost)
                 lam = jnp.clip(
-                    jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
+                    jnp.where(accept, lam * 0.5, lam * 4.0),
+                    c.sft.lm_lambda_min, c.sft.lm_lambda_max,
                 )
-                return (T, nodes, lam, cost, i + 1, converged | (lam >= 1e8))
+                return (T, nodes, lam, cost, i + 1,
+                        converged | (lam >= c.sft.lm_lambda_max))
 
             T, nodes, _, cost, _, _ = jax.lax.while_loop(
                 cond,

@@ -671,12 +671,16 @@ class System:
             dps.Huu, dps.Hvv, p_cap, mapper.OBS_CAP,
         )
         if self.mesh is None or p_cap % self.mesh.devices.size != 0:
-            nres = mapper.solve_normals(obs, self.points.norm_k0)
+            nres = mapper.solve_normals(
+                obs, self.points.norm_k0,
+                num_iters=c.mapping.normal_lm_iterations,
+            )
         else:
             from defslam_tpu.parallel import sharded
 
             nres = sharded.sharded_normal_solves(
-                self.mesh, obs, self.points.norm_k0
+                self.mesh, obs, self.points.norm_k0,
+                num_iters=c.mapping.normal_lm_iterations,
             )
 
         # write normals into the new keyframe at the matched keypoints, then

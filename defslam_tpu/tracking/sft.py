@@ -617,9 +617,11 @@ def solve(
             nodes = jnp.where(accept, nodes_new, nodes)
             cost = jnp.where(accept, c_new, cost)
             lam = jnp.clip(
-                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8
+                jnp.where(accept, lam * 0.5, lam * 4.0),
+                cfg.sft.lm_lambda_min, cfg.sft.lm_lambda_max,
             )
-            return (T, nodes, lam, cost, i + 1, converged | (lam >= 1e8))
+            return (T, nodes, lam, cost, i + 1,
+                    converged | (lam >= cfg.sft.lm_lambda_max))
 
         T, nodes, _, cost, _, _ = jax.lax.while_loop(
             cond,
