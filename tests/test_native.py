@@ -77,3 +77,26 @@ def test_frame_pipeline_reads_images(tmp_path):
     assert sorted(seen) == list(range(6))  # in order, none dropped
     for i in range(6):
         np.testing.assert_allclose(seen[i], imgs[i].astype(np.float32))
+
+
+def test_frame_pipeline_rectifies(tmp_path):
+    """fp_set_rectify applies the undistort-rectify maps inside the C++
+    prefetch threads (the stereo CLI path, stereo_groundtruth.cc:56-94)."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, (40, 60)).astype(np.uint8), (0, 0), 1.0
+    )
+    p = str(tmp_path / "f_0.png")
+    cv2.imwrite(p, img)
+    # shift-by-3px map
+    xs, ys = np.meshgrid(np.arange(60, dtype=np.float32),
+                         np.arange(40, dtype=np.float32))
+    mx, my = xs + 3.0, ys
+    fp = native.FramePipeline([p], width=60, height=40, n_threads=1,
+                              rectify_maps=(mx, my))
+    frames = {i: f for i, f in fp}
+    fp.close()
+    want = cv2.remap(img.astype(np.float32), mx, my, cv2.INTER_LINEAR)
+    np.testing.assert_allclose(frames[0], want, atol=1.0)
