@@ -148,3 +148,33 @@ def test_stereo_gt_outlier_removal():
     rmse = ev.evaluate_stereo(sysf, img, img_r, baseline=54.0 / cfg.camera.fx,
                               timestamp=0.0)
     assert rmse is not None and rmse < 0.1, rmse
+
+
+def test_ct_accuracy_midscale_with_retemplate(tmp_path):
+    """Reference-scale accuracy evidence beyond the 160x120 smoke runs: a
+    320x240 sequence with keyframes + NRSfM + re-templating enabled must
+    keep the scaled GT RMSE within a few percent of scene depth for the
+    whole run (GroundTruthFrame.cc:124-266 is the reference's metric)."""
+    seq = make_sequence(n_frames=16, height=240, width=320, max_amp=0.07,
+                        seed=7)
+    from defslam_tpu.system import System
+
+    cfg = Config(
+        camera=seq.camera,
+        orb=OrbConfig(n_features=500, n_levels=4, max_keypoints=640),
+        sft=SfTConfig(lm_iterations=25),
+        tracking=TrackingConfig(keyframe_period=5),
+        capacity=CapacityConfig(max_map_points=2048, max_keyframes=8),
+        mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
+        save_results=True,
+        output_dir=str(tmp_path),
+    )
+    sys_ = System(cfg)
+    for t in range(16):
+        sys_.track_monocular_ct(seq.frames[t], seq.depths[t], float(t))
+    assert all(m["state"] == "OK" for m in sys_._metrics)
+    rows = sys_._gt_eval.rows
+    assert len(rows) >= 14
+    rmses = [r[1] for r in rows]
+    assert np.median(rmses) < 0.06, f"median RMSE {np.median(rmses):.4f}"
+    assert max(rmses) < 0.15, f"max RMSE {max(rmses):.4f}"
