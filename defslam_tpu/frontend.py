@@ -169,18 +169,27 @@ def extract_features(img: jnp.ndarray, cfg: Config) -> Features:
         # proportionally to its reference budget instead of a global
         # response top-k (which starves coarse pyramid levels on
         # texture-dense images — the reference's per-level budgets are
-        # fixed, ORBextractor.cc ctor + ComputeKeyPointsOctTree).  Each
-        # level's arrays are already response-sorted (lax.top_k), so the
-        # quota is a static slice.
+        # fixed, ORBextractor.cc ctor + ComputeKeyPointsOctTree).  The
+        # quota is applied against each level's VALID detections (rank
+        # among valid entries), and unused quota backfills with the
+        # next-best valid candidates across levels by response — so a
+        # weakly-textured level never wastes capacity on padding slots.
         used_budgets = [budgets[lv] for lv in used]
         quotas = _level_quotas(used_budgets, k)
         starts = np.concatenate([[0], np.cumsum(used_budgets)])
-        order = jnp.concatenate(
-            [
-                jnp.arange(starts[i], starts[i] + q, dtype=jnp.int32)
-                for i, q in enumerate(quotas)
-            ]
+        ranks, quota_of = [], []
+        for i, q in enumerate(quotas):
+            seg_valid = cat.valid[starts[i]:starts[i + 1]]
+            ranks.append(jnp.cumsum(seg_valid.astype(jnp.int32)) - 1)
+            quota_of.append(jnp.full(seg_valid.shape[0], q, jnp.int32))
+        rank = jnp.concatenate(ranks)
+        in_quota = cat.valid & (rank < jnp.concatenate(quota_of))
+        key = jnp.where(
+            cat.valid,
+            jnp.where(in_quota, 1e9, 0.0) + cat.response,
+            -1.0,
         )
+        _, order = jax.lax.top_k(key, k)
         cat = jax.tree.map(lambda a: a[order], cat)
     elif n < k:
         pad = k - n

@@ -73,8 +73,15 @@ class FramePipeline:
         self._lib = lib
         self.width, self.height = width, height
         self.paths = list(paths)
+        if rectify_maps is not None:
+            mx = np.ascontiguousarray(rectify_maps[0], np.float32)
+            my = np.ascontiguousarray(rectify_maps[1], np.float32)
+            assert mx.shape == (height, width)
+            self._rect = (mx, my)
+        else:
+            self._rect = None
         if lib is None:
-            self._handle = None  # python fallback
+            self._handle = None  # python fallback (rectifies via cv2.remap)
             self._i = 0
             return
         arr = (ctypes.c_char_p * len(paths))(
@@ -82,17 +89,12 @@ class FramePipeline:
         )
         self._handle = lib.fp_create(arr, len(paths), width, height,
                                      n_threads, capacity)
-        if rectify_maps is not None:
-            mx = np.ascontiguousarray(rectify_maps[0], np.float32)
-            my = np.ascontiguousarray(rectify_maps[1], np.float32)
-            assert mx.shape == (height, width)
+        if self._rect is not None:
+            mx, my = self._rect
             lib.fp_set_rectify(
                 self._handle, mx.ctypes.data_as(ctypes.c_void_p),
                 my.ctypes.data_as(ctypes.c_void_p),
             )
-            self._rect = (mx, my)
-        else:
-            self._rect = None
 
     def __iter__(self):
         buf = np.empty((self.height, self.width), np.float32)

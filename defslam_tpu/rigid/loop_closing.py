@@ -227,7 +227,14 @@ def correct_loop(
     pos = jnp.zeros(f_cap, jnp.int32).at[order].set(jnp.arange(f_cap))
     iu, ju = jnp.triu_indices(f_cap, k=1)
     consec = jnp.abs(pos[iu] - pos[ju]) == 1
-    counts = jnp.where(consec, 0.0, shared[iu, ju])
+    # the slot<->cand pair gets the MEASURED loop edge below; a covis edge
+    # for the same pair would carry the drifted current relative pose and
+    # fight the correction (the reference's sInsertedEdges dedup excludes
+    # loop-connection pairs, Optimizer.cc OptimizeEssentialGraph)
+    lo = jnp.minimum(slot, cand)
+    hi = jnp.maximum(slot, cand)
+    excl = consec | ((iu == lo) & (ju == hi))
+    counts = jnp.where(excl, 0.0, shared[iu, ju])
     n_cov = min(3 * f_cap, iu.shape[0])
     top_c, top_idx = jax.lax.top_k(counts, n_cov)
     cov_i = iu[top_idx]
