@@ -44,7 +44,8 @@ def main():
     from defslam_tpu.system import System
 
     if quick:
-        seq = make_sequence(n_frames=8, height=120, width=160, max_amp=0.06)
+        seq = make_sequence(n_frames=8, height=120, width=160, max_amp=0.06,
+                            camera_motion=0.10)
         cfg = Config(
             camera=seq.camera,
             orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
@@ -55,7 +56,8 @@ def main():
         )
         n_warm, n_meas = 6, 6  # warmup must cover a keyframe+mapping step
     else:
-        seq = make_sequence(n_frames=24, height=480, width=640, max_amp=0.08)
+        seq = make_sequence(n_frames=24, height=480, width=640, max_amp=0.08,
+                            camera_motion=0.35)
         cfg = Config(
             camera=seq.camera,
             orb=OrbConfig(n_features=1200, n_levels=6, max_keypoints=1536),
@@ -81,11 +83,16 @@ def main():
         sys_.track_monocular(frames_dev[t], timestamp=float(t))
     sys_.flush()  # drain warmup backlog: measure steady state, not compile/queue debt
 
+    frame_ms = []
     t0 = time.perf_counter()
     for t in range(n_warm, n_warm + n_meas):
+        tf = time.perf_counter()
         pose = sys_.track_monocular(frames_dev[t % len(frames_dev)],
                                     timestamp=float(t))
+        frame_ms.append((time.perf_counter() - tf) * 1e3)
+    tl = time.perf_counter()
     sys_.flush()  # the last pipelined frame's compute counts too
+    frame_ms[-1] += (time.perf_counter() - tl) * 1e3
     elapsed = time.perf_counter() - t0
     fps = n_meas / elapsed
 
@@ -95,24 +102,136 @@ def main():
     # Guards the perf number against "fast because it stopped tracking".
     frame_idx = (n_warm + n_meas - 1) % len(seq.frames)
     acc = _accuracy(sys_, seq, frame_idx)
+    # ATE (north-star metric): Sim3-aligned trajectory RMSE vs the GT camera
+    # poses, paired by frame timestamp (sequences replay cyclically)
+    from defslam_tpu.groundtruth.gt import ate_rmse_trajectory
+
+    ate = ate_rmse_trajectory(sys_.trajectory, seq.poses)
+    p50, p95, p99 = (
+        float(np.percentile(frame_ms, q)) for q in (50, 95, 99)
+    )
+    stages = _stage_breakdown(sys_, frames_dev[0])
     result = {
         "metric": "track_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS, 3),
         "median_depth_err": round(acc, 4),
+        "ate_rmse": round(ate, 5),
         "frames_ok": ok_frames,
+        "p50_ms": round(p50, 2),
+        "p95_ms": round(p95, 2),
+        "p99_ms": round(p99, 2),
+        "stages": stages,
     }
+    print(json.dumps(result))
     assert ok_frames == len(sys_._metrics), "bench run lost tracking"
     assert acc < 0.10, f"accuracy regression: median depth error {acc:.3f}"
-    print(json.dumps(result))
+    # observed at full scale: ~0.06 (camera travels 0.35 world units at
+    # scene depth ~1 with strong deformation + template swaps); the gate
+    # is a regression guard, not the target — see BASELINE.md
+    assert ate < 0.10, f"trajectory regression: ATE RMSE {ate:.4f}"
     if "--verbose" in sys.argv:
         print(
             f"# frames OK: {ok_frames}/{len(sys_._metrics)}, "
             f"measured {n_meas} frames in {elapsed:.2f}s, "
-            f"median depth err {acc:.4f}",
+            f"median depth err {acc:.4f}, ate {ate:.5f}, "
+            f"frame ms p50/p95/p99 = {p50:.1f}/{p95:.1f}/{p99:.1f}",
             file=sys.stderr,
         )
+
+
+def _stage_breakdown(sys_, frame) -> dict:
+    """Per-stage DEVICE time + XLA-reported flops + rough MFU for the
+    per-frame pipeline stages (VERDICT r3: decide optimizations from data).
+
+    Each stage is timed as its own dispatch (block_until_ready over n
+    reps); in production they run fused in track_frame, so the sum here is
+    an upper bound on the fused frame's device time.  MFU uses the XLA
+    cost analysis flops over an f32 peak of ~49 TFLOP/s (TPU v5e MXU at
+    fp32 accumulate) — a coarse utilization figure, not a measurement.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from defslam_tpu.frontend import extract_features
+    from defslam_tpu.tracking import tracker
+
+    cfg, K = sys_.cfg, sys_.K
+    out = {}
+    PEAK_F32 = 49e12
+
+    def timeit(name, fn, lowered_args=None, n=5):
+        r = fn()  # warm (all compiles are cached from the measured run)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        jax.block_until_ready(r)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        entry = {"ms": round(ms, 2)}
+        if lowered_args is not None:
+            try:
+                an = lowered_args().cost_analysis()
+                if isinstance(an, (list, tuple)):
+                    an = an[0]
+                fl = float(an.get("flops", 0.0))
+                entry["gflops"] = round(fl / 1e9, 2)
+                entry["mfu_pct"] = round(100.0 * fl / (ms / 1e3) / PEAK_F32, 3)
+            except Exception:
+                pass
+        out[name] = entry
+        return r
+
+    img = jnp.asarray(frame)
+    feats = timeit(
+        "extract", lambda: extract_features(img, cfg),
+        lambda: extract_features.lower(img, cfg).compile(),
+    )
+    pred = sys_.pose
+    matches = timeit(
+        "match",
+        lambda: tracker.match_points_to_frame(sys_.points, pred, K, feats, cfg),
+        lambda: tracker.match_points_to_frame.lower(
+            sys_.points, pred, K, feats, cfg
+        ).compile(),
+    )
+    timeit(
+        "sft",
+        lambda: tracker.sft_track(
+            sys_.points, matches, feats, sys_.template, pred, K, cfg
+        ),
+        lambda: tracker.sft_track.lower(
+            sys_.points, matches, feats, sys_.template, pred, K, cfg
+        ).compile(),
+    )
+    # the whole mapping chain (covis pairs -> warps -> normals -> SfN ->
+    # Sim3 -> re-template -> culling) as dispatched at every keyframe
+    from defslam_tpu.mapping import mapper
+
+    res = tracker.sft_track(
+        sys_.points, matches, feats, sys_.template, pred, K, cfg
+    )
+    # keyframe_step DONATES the store buffers — copy them per call so the
+    # probe never reuses a donated buffer (the copy is ~0.5 ms of the
+    # chain's tens of ms)
+    timeit(
+        "keyframe_chain",
+        lambda: mapper.keyframe_step(
+            jax.tree.map(jnp.copy, sys_.kfs),
+            jax.tree.map(jnp.copy, sys_.points),
+            sys_.template, sys_.pose, feats,
+            matches.kp_of_point, res.inlier, K, sys_.dom,
+            sys_.bend_warp, sys_.bend_sfn,
+            jnp.asarray(sys_.template_ref_kf, jnp.int32),
+            jnp.asarray(sys_.kf_counter, jnp.int32),
+            jnp.asarray(sys_.frame_id, jnp.int32), cfg,
+        ),
+        n=3,
+    )
+    return out
 
 
 def _accuracy(sys_, seq, frame_idx: int) -> float:

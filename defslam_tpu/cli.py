@@ -19,9 +19,26 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="defslam_tpu")
+    # debug-workflow affordances shared by every mode — the headless
+    # equivalents of the reference viewer's live regularizer sliders and
+    # step-"Next" gating (DefViewer.cc:53-120, System.cc:328-333)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--step", action="store_true",
+        help="single-step mode: wait for Enter after every frame "
+             "(the viewer's sequential 'Next' gating)",
+    )
+    common.add_argument(
+        "--tune", metavar="FILE", default=None,
+        help="poll FILE (YAML: reference keys like Regularizer.laplacian "
+             "or dotted config paths) every frame and apply changed "
+             "parameters live (the viewer's regularizer sliders; each "
+             "change recompiles the affected kernels once)",
+    )
     sub = p.add_subparsers(dest="mode", required=True)
 
-    mono = sub.add_parser("mono", help="monocular video/camera (DefSLAM app)")
+    mono = sub.add_parser("mono", parents=[common],
+                          help="monocular video/camera (DefSLAM app)")
     mono.add_argument("yaml")
     mono.add_argument("source")
     mono.add_argument(
@@ -30,18 +47,21 @@ def main(argv=None):
              "(the reference's compile-time '#define ORBSLAM', set_MAC.h:24)",
     )
 
-    st = sub.add_parser("stereo", help="stereo GT sequence (DefSLAMGT app)")
+    st = sub.add_parser("stereo", parents=[common],
+                        help="stereo GT sequence (DefSLAMGT app)")
     st.add_argument("yaml")
     st.add_argument("directory")
     st.add_argument("--start", type=int, default=200)
     st.add_argument("--baseline", type=float, default=0.1)
 
-    ct = sub.add_parser("ct", help="video + depth-map GT (DefSLAMGTCT app)")
+    ct = sub.add_parser("ct", parents=[common],
+                        help="video + depth-map GT (DefSLAMGTCT app)")
     ct.add_argument("yaml")
     ct.add_argument("video")
     ct.add_argument("depth_dir")
 
-    sy = sub.add_parser("synth", help="synthetic demo sequence")
+    sy = sub.add_parser("synth", parents=[common],
+                        help="synthetic demo sequence")
     sy.add_argument("--frames", type=int, default=30)
     sy.add_argument("--out", default="./out")
 
@@ -59,7 +79,7 @@ def main(argv=None):
         sys_ = System(cfg)
         for t in range(args.frames):
             sys_.track_monocular_ct(seq.frames[t], seq.depths[t], float(t))
-            _progress(sys_)
+            _progress(sys_, args)
     else:
         cfg = Config.from_yaml(args.yaml)
         if args.mode == "mono" and args.orbslam:
@@ -94,7 +114,7 @@ def main(argv=None):
             src = int(args.source) if args.source.isdigit() else args.source
             for img, ts in load_video(src):
                 sys_.track_monocular(img, ts)
-                _progress(sys_)
+                _progress(sys_, args)
         elif args.mode == "stereo":
             from defslam_tpu import native
             from defslam_tpu.config import load_raw_yaml
@@ -123,7 +143,7 @@ def main(argv=None):
                 sys_.track_monocular_gt(
                     left, right, ts[i], baseline=args.baseline
                 )
-                _progress(sys_)
+                _progress(sys_, args)
             pipe_l.close()
             pipe_r.close()
         elif args.mode == "ct":
@@ -131,7 +151,7 @@ def main(argv=None):
 
             for img, depth, ts in load_ct_sequence(args.video, args.depth_dir):
                 sys_.track_monocular_ct(img, depth, ts)
-                _progress(sys_)
+                _progress(sys_, args)
 
     sys_.write_metrics()
     from defslam_tpu import profiling
@@ -147,7 +167,7 @@ def main(argv=None):
     return 0
 
 
-def _progress(sys_):
+def _progress(sys_, args=None):
     sys_.flush()  # per-frame reporting wants the validated counts
     m = sys_._metrics[-1]
     print(
@@ -158,6 +178,56 @@ def _progress(sys_):
         end="",
         flush=True,
     )
+    if args is not None:
+        _debug_hooks(sys_, args)
+
+
+class _TuneWatcher:
+    """Polls a parameter file and applies changed values to the running
+    System (the DefViewer slider workflow, DefViewer.cc:53-120)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.mtime = 0.0
+        self.last: dict = {}
+
+    def poll(self, sys_):
+        import os
+
+        try:
+            m = os.stat(self.path).st_mtime
+        except OSError:
+            return
+        if m == self.mtime:
+            return
+        self.mtime = m
+        from defslam_tpu.config import load_raw_yaml
+
+        try:
+            raw = load_raw_yaml(self.path)
+        except Exception as e:  # keep tracking; report the bad file
+            print(f"\n[tune] parse error in {self.path}: {e}")
+            return
+        changed = {k: v for k, v in raw.items() if self.last.get(k) != v}
+        self.last = raw
+        if not changed:
+            return
+        try:
+            sys_.apply_tuning(changed)
+            print(f"\n[tune] applied {changed}")
+        except KeyError as e:
+            print(f"\n[tune] {e}")
+
+
+def _debug_hooks(sys_, args):
+    if getattr(args, "tune", None):
+        w = getattr(args, "_tune_watcher", None)
+        if w is None:
+            w = _TuneWatcher(args.tune)
+            args._tune_watcher = w
+        w.poll(sys_)
+    if getattr(args, "step", False):
+        input("\n[step] Enter for next frame... ")
 
 
 if __name__ == "__main__":

@@ -281,6 +281,47 @@ class Config:
         return dataclasses.asdict(self)
 
 
+def replace_path(cfg: Config, path: tuple, value) -> Config:
+    """Return a new frozen Config with the field at ``path`` replaced;
+    the value is coerced to the current field's type (YAML floats must not
+    turn int fields into floats — jit static-arg hashing would change).
+    Raises KeyError on an unknown path, so live-tuning typos are loud."""
+    node = cfg
+    for p in path[:-1]:
+        if not hasattr(node, p):
+            raise KeyError(f"no config section {'.'.join(path)}")
+        node = getattr(node, p)
+    leaf = path[-1]
+    if not hasattr(node, leaf):
+        raise KeyError(f"no config field {'.'.join(path)}")
+    cur = getattr(node, leaf)
+    if isinstance(cur, bool):
+        value = bool(value)
+    elif isinstance(cur, int):
+        value = int(value)
+    elif isinstance(cur, float):
+        value = float(value)
+    new_leaf_owner = dataclasses.replace(node, **{leaf: value})
+    # rebuild ancestors bottom-up
+    for i in range(len(path) - 2, -1, -1):
+        parent = cfg
+        for p in path[:i]:
+            parent = getattr(parent, p)
+        new_leaf_owner = dataclasses.replace(
+            parent, **{path[i]: new_leaf_owner}
+        )
+    return new_leaf_owner
+
+
+def reference_key_path(key: str) -> tuple:
+    """Resolve a parameter name: either a reference YAML key
+    ('Regularizer.laplacian', scripts/stereo0_template.yaml) or a dotted
+    path into our schema ('sft.lm_iterations')."""
+    if key in _REF_KEYMAP:
+        return _REF_KEYMAP[key]
+    return tuple(key.split("."))
+
+
 def load_raw_yaml(path: str) -> dict:
     """Parse a settings file into a flat dict, tolerating the reference's
     cv::FileStorage quirks: the '%YAML:1.0' directive (invalid for PyYAML),

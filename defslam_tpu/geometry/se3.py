@@ -150,6 +150,19 @@ def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return A @ B
 
 
+def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (Newton polar iteration,
+    quadratic convergence for near-orthonormal R — 3 steps reach float32
+    noise from ~25% drift).  SE3 poses composed repeatedly (motion-model
+    prediction, long tracking runs) accumulate off-manifold error that the
+    transpose-inverse then AMPLIFIES geometrically; this is the per-frame
+    renormalization that keeps the loop stable."""
+    R = T[..., :3, :3]
+    for _ in range(3):
+        R = 0.5 * (R + jnp.linalg.inv(jnp.swapaxes(R, -1, -2)))
+    return _rt_to_mat(R, T[..., :3, 3])
+
+
 def transform(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) to points (..., N, 3) or (..., 3)."""
     R, t = T[..., :3, :3], T[..., :3, 3]

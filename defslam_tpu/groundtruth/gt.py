@@ -117,6 +117,55 @@ def scaled_error(
     return s, err, rmse
 
 
+def ate_rmse(
+    est_poses: np.ndarray,  # (T, 4, 4) world->camera, estimated
+    gt_poses: np.ndarray,  # (T, 4, 4) world->camera, ground truth
+) -> float:
+    """Sim3-aligned absolute trajectory error (ATE) RMSE.
+
+    The north-star accuracy metric of BASELINE.json ("ATE RMSE <= reference
+    on Mandala/Hamlyn").  The reference itself writes raw trajectories and
+    per-frame scaled RMSE (GroundTruthCalculator.cc:203-274) and leaves ATE
+    to offline tooling; here it is first-class: camera centers are aligned
+    by a closed-form Umeyama Sim3 (the monocular scale/gauge freedom), then
+    RMSE of the residual centers — the standard TUM-benchmark definition.
+    """
+    est = np.asarray(est_poses, np.float64)
+    gt = np.asarray(gt_poses, np.float64)
+    assert est.shape == gt.shape and est.ndim == 3
+    # camera center c = -R^T t for world->camera [R|t]
+    c_est = -np.einsum("tij,ti->tj", est[:, :3, :3], est[:, :3, 3])
+    c_gt = -np.einsum("tij,ti->tj", gt[:, :3, :3], gt[:, :3, 3])
+    mu_e, mu_g = c_est.mean(0), c_gt.mean(0)
+    X, Y = c_est - mu_e, c_gt - mu_g
+    var = (X * X).sum() / len(X)
+    if var < 1e-18:
+        # stationary estimate: no similarity to fit beyond translation
+        aligned = c_est - mu_e + mu_g
+    else:
+        S = Y.T @ X / len(X)
+        U, D, Vt = np.linalg.svd(S)
+        W = np.eye(3)
+        if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+            W[2, 2] = -1.0
+        R = U @ W @ Vt
+        s = np.trace(np.diag(D) @ W) / var
+        t = mu_g - s * R @ mu_e
+        aligned = s * c_est @ R.T + t
+    return float(np.sqrt(np.mean(np.sum((aligned - c_gt) ** 2, axis=1))))
+
+
+def ate_rmse_trajectory(trajectory, gt_poses: np.ndarray) -> float:
+    """ATE RMSE for a ``System.trajectory`` list of (timestamp, pose)
+    entries against per-frame GT poses; timestamps index the GT array
+    (modulo its length — benches replay sequences cyclically).  LOST
+    frames simply have no trajectory entry and drop out of the pairing."""
+    gt_poses = np.asarray(gt_poses)
+    idx = [int(round(ts)) % len(gt_poses) for ts, _ in trajectory]
+    est = np.stack([np.asarray(T) for _, T in trajectory])
+    return ate_rmse(est, gt_poses[idx])
+
+
 class GroundTruthEvaluator:
     """Per-frame GT evaluation + reference-format result files."""
 

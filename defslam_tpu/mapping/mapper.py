@@ -45,11 +45,13 @@ OBS_CAP = 8
 # the Ceres covariance diagonal of ITS cost (pixel-scaled residuals) at
 # Regularizer.Reliability (NormalEstimator.cc:159).  Our normal solver
 # minimizes unit-Frobenius-normalized metric residuals, whose JtJ lives in
-# different units: empirically the conditioned core of cov sits at O(1) and
-# degenerate (short-baseline) observations blow past 1e3.  reliability *
-# COV_GATE_SCALE keeps the YAML knob meaningful: 0.7 -> gate 70, squarely
-# between the two populations.
-COV_GATE_SCALE = 100.0
+# different units.  Calibrated by test_cov_gate_scale_separates_populations
+# (tests/test_nrsfm.py): conditioned normals (diverse-baseline pairs) show
+# cov diagonals <= ~1e2 even at only 2 observations, degenerate
+# (short-baseline) observations land at >= ~1e7 — the gate sits in the
+# geometric middle of that 5-decade gap so neither population can drift
+# across it.  reliability * COV_GATE_SCALE: 0.7 -> gate 1400.
+COV_GATE_SCALE = 2000.0
 
 
 def normal_reliability_gate(nres, reliability: float) -> jnp.ndarray:
@@ -302,7 +304,9 @@ def densify_matches(
         dist = matching.masked_hamming(
             desc1, d2, valid1 & pv, v2, pair_mask=window, use_pallas=False,
         )  # vmapped over pairs -> XLA path
-        m = matching.best_match(dist, max_dist=th, nn_ratio=0.85, mutual=True)
+        m = matching.best_match(
+            dist, max_dist=th, nn_ratio=cfg.tracking.nn_ratio, mutual=True
+        )
         return m.idx, m.dist
 
     return jax.vmap(one)(ctrls, retina2, valid2, desc2, pair_valid)

@@ -294,21 +294,217 @@ def close_loop(
     min_votes: int = 40,
 ):
     """Full LoopClosing::Run step for one new keyframe.  Host-friendly:
-    returns (closed: bool, kfs, points) — stores are updated only when a
-    loop was detected, Sim3-verified, and corrected."""
+    returns (closed: bool, kfs, points, cand_slot) — stores are updated
+    only when a loop was detected, Sim3-verified, and corrected.
+    ``cand_slot`` (int, -1 if not closed) feeds :func:`fuse_and_global_ba`
+    for the SearchAndFuse + global-BA completion."""
     cand = detect_loop(kfs, jnp.asarray(slot, jnp.int32), K_cam, cfg,
                        min_votes=min_votes)
     if not bool(cand.found):
-        return False, kfs, points
+        return False, kfs, points, -1
     est = compute_sim3(
         kfs, points, jnp.asarray(slot, jnp.int32), cand.kf,
         cand.match_idx, K_cam, cfg,
     )
     if not bool(est.ok):
-        return False, kfs, points
+        return False, kfs, points, -1
     corr = correct_loop(
         kfs, points, jnp.asarray(slot, jnp.int32), cand.kf, est
     )
     kfs = kfs._replace(pose=corr.poses)
     points = points._replace(xyz=corr.xyz)
-    return True, kfs, points
+    # replace duplicated current-side points with their loop-side
+    # originals through the verified descriptor matches — the reference
+    # does this replacement UNGATED by any projection window because the
+    # pairs come from the Sim3 inlier set (LoopClosing.cc:462-478,
+    # "Update matched map points and replace if duplicated")
+    kfs, points, _ = replace_loop_matches(
+        kfs, points, slot, int(cand.kf), cand.match_idx
+    )
+    return True, kfs, points, int(cand.kf)
+
+
+def replace_loop_matches(
+    kfs: KeyframeStore,
+    points: PointStore,
+    slot: int,
+    cand: int,
+    match_idx: jnp.ndarray,  # (K,) current-KF kp -> candidate kp
+):
+    """Merge point pairs bound to descriptor-matched keypoints of the two
+    loop-connection keyframes: the loop-side point replaces the
+    current-side duplicate (MapPoint::Replace direction of
+    LoopClosing.cc:467-477).  Returns (kfs, points, n_replaced)."""
+    import numpy as np
+
+    from defslam_tpu.rigid import triangulation as tri
+
+    k_cap = kfs.point_id.shape[1]
+    mi = np.asarray(match_idx)
+    j = np.clip(mi, 0, k_cap - 1)
+    pid1 = np.asarray(kfs.point_id[slot])
+    pid2 = np.asarray(kfs.point_id[cand])[j]
+    pvalid = np.asarray(points.valid).copy()
+    ok = (
+        (mi >= 0)
+        & (pid1 >= 0)
+        & (pid2 >= 0)
+        & (pid1 != pid2)
+        & pvalid[np.clip(pid1, 0, points.capacity - 1)]
+        & pvalid[np.clip(pid2, 0, points.capacity - 1)]
+    )
+    src = np.unique(pid1[ok])  # current-side duplicates to retire
+    if len(src) == 0:
+        return kfs, points, 0
+    # build src->dst from the first match per src point
+    dst_of = {}
+    for a, b in zip(pid1[ok], pid2[ok]):
+        dst_of.setdefault(int(a), int(b))
+    dst = np.asarray([dst_of[int(s)] for s in src], np.int32)
+    pid_all = np.asarray(
+        tri.apply_replacements(
+            kfs.point_id, jnp.asarray(src.astype(np.int32)),
+            jnp.asarray(dst), points.capacity,
+        )
+    )
+    nobs = np.asarray(points.n_obs).copy()
+    for s, d_ in zip(src, dst):
+        nobs[d_] += nobs[s]
+        pvalid[s] = False
+    kfs = kfs._replace(point_id=jnp.asarray(pid_all))
+    points = points._replace(
+        n_obs=jnp.asarray(nobs), valid=jnp.asarray(pvalid)
+    )
+    return kfs, points, len(src)
+
+
+def fuse_points_into(
+    kfs: KeyframeStore,
+    points: PointStore,
+    s_tgt: int,
+    K_cam: jnp.ndarray,
+    sig2: jnp.ndarray,
+    cfg: Config,
+    radius: float = 3.0,
+):
+    """Project all valid map points into keyframe ``s_tgt`` and merge
+    duplicates (``ORBmatcher::Fuse`` + ``MapPoint::Replace``,
+    LoopClosing::SearchAndFuse LoopClosing.cc:496-616).  The reference
+    fuses only mvpLoopMapPoints (loop-KF neighborhood points); projecting
+    the whole store is a superset with identical effect — the projection
+    window + chi2 gate keeps non-overlapping points out, and at SoA-store
+    capacities the dense pass is one device dispatch.
+
+    Returns (kfs, points, n_merged)."""
+    import numpy as np
+
+    from defslam_tpu.rigid import triangulation as tri
+
+    fr = tri.fuse_into_keyframe(
+        points.xyz, points.desc, points.valid,
+        kfs.pose[s_tgt], K_cam,
+        kfs.xy[s_tgt], kfs.desc[s_tgt], kfs.kp_valid[s_tgt],
+        kfs.level[s_tgt], kfs.point_id[s_tgt],
+        sig2, cfg.camera.width, cfg.camera.height, radius=radius,
+    )
+    kp = np.asarray(fr.kp_idx)
+    existing = np.asarray(fr.existing_pid)
+    nobs = np.asarray(points.n_obs).copy()
+    pvalid = np.asarray(points.valid).copy()
+    pid_t = np.asarray(kfs.point_id[s_tgt]).copy()
+    src_list, dst_list = [], []
+    for p in np.nonzero((kp >= 0) & pvalid)[0]:
+        e = existing[p]
+        if e < 0:
+            pid_t[kp[p]] = p  # new observation for an unbound keypoint
+            nobs[p] += 1
+        elif e != p:
+            # duplicate: keep the more-observed point (ORBmatcher.cc:~1000)
+            if nobs[e] >= nobs[p]:
+                src_list.append(p)
+                dst_list.append(e)
+            else:
+                src_list.append(e)
+                dst_list.append(p)
+    pid_all = np.asarray(kfs.point_id).copy()
+    pid_all[s_tgt] = pid_t
+    if src_list:
+        src = jnp.asarray(np.asarray(src_list, np.int32))
+        dst = jnp.asarray(np.asarray(dst_list, np.int32))
+        pid_all = np.asarray(
+            tri.apply_replacements(
+                jnp.asarray(pid_all), src, dst, points.capacity
+            )
+        )
+        for s, d_ in zip(src_list, dst_list):
+            nobs[d_] += nobs[s]
+            pvalid[s] = False
+    kfs = kfs._replace(point_id=jnp.asarray(pid_all))
+    points = points._replace(
+        n_obs=jnp.asarray(nobs), valid=jnp.asarray(pvalid)
+    )
+    return kfs, points, len(src_list)
+
+
+def global_ba(
+    kfs: KeyframeStore,
+    points: PointStore,
+    K_cam: jnp.ndarray,
+    sig2: jnp.ndarray,
+    iters: int = 10,
+):
+    """Full-map bundle adjustment over every stored keyframe and point
+    (``Optimizer::GlobalBundleAdjustemnt`` as launched by
+    ``LoopClosing::RunGlobalBundleAdjustment``, LoopClosing.cc:630-741).
+    Keyframe 0 fixes the gauge (vpKFs[0]->setFixed, Optimizer.cc:40-235).
+    Returns (kfs, points, n_inliers); chi2-failed observations are pruned
+    from the kp->point tables like the reference's outlier erase."""
+    import numpy as np
+
+    lv = jnp.clip(kfs.level, 0, sig2.shape[0] - 1)
+    problem = ba.BAProblem(
+        poses=kfs.pose,
+        xyz=points.xyz,
+        pid=kfs.point_id,
+        uv=kfs.xy,
+        inv_sigma2=1.0 / sig2[lv],
+        obs_mask=kfs.kp_valid & kfs.valid[:, None],
+        cam_free=kfs.valid & (jnp.arange(kfs.pose.shape[0]) != 0),
+        point_free=points.valid,
+    )
+    res = ba.ba_solve(problem, K_cam, iters_first=iters, iters_second=iters)
+    kfs = kfs._replace(pose=res.poses)
+    points = points._replace(xyz=res.xyz)
+    keep = np.asarray(res.inlier)
+    pid = np.asarray(kfs.point_id).copy()
+    had = pid >= 0
+    pid[had & ~keep] = -1
+    kfs = kfs._replace(point_id=jnp.asarray(pid))
+    return kfs, points, int(res.n_inliers)
+
+
+def fuse_and_global_ba(
+    kfs: KeyframeStore,
+    points: PointStore,
+    slot: int,
+    cand: int,
+    K_cam: jnp.ndarray,
+    sig2: jnp.ndarray,
+    cfg: Config,
+):
+    """The CorrectLoop completion the essential graph leaves undone
+    (LoopClosing.cc:496-741): SearchAndFuse of loop-side map points into
+    both loop-connection keyframes under the CORRECTED poses (duplicated
+    landmarks triangulated on the drifted side merge with their loop-side
+    originals), then a full global bundle adjustment refining the
+    essential-graph solution.  Returns (kfs, points, n_merged)."""
+    total = 0
+    for tgt in (slot, cand):
+        # the loop-fusion pass uses the reference's wider window (th=4,
+        # LoopClosing::SearchAndFuse -> matcher.Fuse(pKF, cvScw, ..., 4))
+        kfs, points, n = fuse_points_into(
+            kfs, points, tgt, K_cam, sig2, cfg, radius=4.0
+        )
+        total += n
+    kfs, points, _ = global_ba(kfs, points, K_cam, sig2)
+    return kfs, points, total

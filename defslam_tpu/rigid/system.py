@@ -116,7 +116,7 @@ class RigidSystem:
         self.state = RigidState.NO_IMAGES_YET
         self.frame_id = -1
         self.frames_since_kf = 0
-        self.trajectory: list[np.ndarray] = []
+        self.trajectory: list[tuple[float, np.ndarray]] = []
         self._init_feats: Features | None = None
         # found-ratio statistics (MapPoint::IncreaseVisible/IncreaseFound)
         p = c.capacity.max_map_points
@@ -138,7 +138,7 @@ class RigidSystem:
             ok = self._try_initialize(feats)
             self.state = RigidState.OK if ok else RigidState.NOT_INITIALIZED
             if ok:
-                self.trajectory.append(np.asarray(self.pose))
+                self.trajectory.append((timestamp, np.asarray(self.pose)))
                 return np.asarray(self.pose)
             return None
         return self._track(feats, timestamp)
@@ -261,7 +261,7 @@ class RigidSystem:
         self.pose = res.T
         self.velocity = res.T @ se3.inverse(prev)
         self.state = RigidState.OK
-        self.trajectory.append(np.asarray(self.pose))
+        self.trajectory.append((timestamp, np.asarray(self.pose)))
 
         # found-ratio statistics
         vis = np.asarray(visible)
@@ -338,11 +338,16 @@ class RigidSystem:
         self._cull_points()
         self._local_ba()
         self._cull_keyframe(slot)
-        closed, kfs2, pts2 = loop_closing.close_loop(
+        closed, kfs2, pts2, cand = loop_closing.close_loop(
             self.kfs, self.points, slot, self.K, c
         )
         if closed:
             self.kfs, self.points = kfs2, pts2
+            # CorrectLoop completion (LoopClosing.cc:496-741): fuse
+            # loop-side duplicates under the corrected poses + global BA
+            self.kfs, self.points, _ = loop_closing.fuse_and_global_ba(
+                self.kfs, self.points, slot, cand, self.K, self.sig2, c
+            )
             self.pose = self.kfs.pose[slot]
             self.velocity = jnp.eye(4)
             self.loops_closed += 1
@@ -405,53 +410,11 @@ class RigidSystem:
         self._found[dst] = 2
 
     def _fuse_pair(self, s_src: int, s_tgt: int):
-        """Project s_src's newly seen points into s_tgt and merge duplicates
-        (ORBmatcher::Fuse + MapPoint::Replace)."""
-        kfs = self.kfs
-        c = self.cfg
-        fr = tri.fuse_into_keyframe(
-            self.points.xyz, self.points.desc, self.points.valid,
-            kfs.pose[s_tgt], self.K,
-            kfs.xy[s_tgt], kfs.desc[s_tgt], kfs.kp_valid[s_tgt],
-            kfs.level[s_tgt], kfs.point_id[s_tgt],
-            self.sig2, c.camera.width, c.camera.height,
-        )
-        kp = np.asarray(fr.kp_idx)
-        existing = np.asarray(fr.existing_pid)
-        nobs = np.asarray(self.points.n_obs).copy()
-        pvalid = np.asarray(self.points.valid).copy()
-        src_list, dst_list = [], []
-        pid_t = np.asarray(kfs.point_id[s_tgt]).copy()
-        for p in np.nonzero((kp >= 0) & pvalid)[0]:
-            e = existing[p]
-            if e < 0:
-                pid_t[kp[p]] = p  # new observation
-                nobs[p] += 1
-            elif e != p:
-                # duplicate: keep the more observed (ORBmatcher.cc:~1000)
-                if nobs[e] >= nobs[p]:
-                    src_list.append(p)
-                    dst_list.append(e)
-                else:
-                    src_list.append(e)
-                    dst_list.append(p)
-        pid_all = np.asarray(kfs.point_id).copy()
-        pid_all[s_tgt] = pid_t
-        if src_list:
-            p_cap = self.points.capacity
-            r = len(src_list)
-            src = jnp.asarray(np.asarray(src_list, np.int32))
-            dst = jnp.asarray(np.asarray(dst_list, np.int32))
-            pid_new = tri.apply_replacements(
-                jnp.asarray(pid_all), src, dst, p_cap
-            )
-            pid_all = np.asarray(pid_new)
-            for s, d in zip(src_list, dst_list):
-                nobs[d] += nobs[s]
-                pvalid[s] = False
-        self.kfs = kfs._replace(point_id=jnp.asarray(pid_all))
-        self.points = self.points._replace(
-            n_obs=jnp.asarray(nobs), valid=jnp.asarray(pvalid)
+        """Project map points into s_tgt and merge duplicates
+        (ORBmatcher::Fuse + MapPoint::Replace) — shared with the
+        loop-closing SearchAndFuse pass."""
+        self.kfs, self.points, _ = loop_closing.fuse_points_into(
+            self.kfs, self.points, s_tgt, self.K, self.sig2, self.cfg
         )
 
     def _cull_points(self):
@@ -522,5 +485,9 @@ class RigidSystem:
 
     def write_trajectory(self, path: str):
         with open(path, "w") as f:
-            for T in self.trajectory:
-                f.write(" ".join(f"{x:.8f}" for x in T.reshape(-1)) + "\n")
+            for ts, T in self.trajectory:
+                f.write(
+                    f"{ts:.6f} "
+                    + " ".join(f"{x:.8f}" for x in T.reshape(-1))
+                    + "\n"
+                )

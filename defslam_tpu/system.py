@@ -106,17 +106,57 @@ class System:
         self.template: meshmod.Template | None = None
         self.template_ref_kf = -1
         self.pose = jnp.eye(4)
+        # previous validated frame's pose — the constant-velocity motion
+        # model state (mVelocity, Tracking.cc:1018+); prev_pose == pose
+        # means "no velocity" (reset after init/LOST/relocalize/keyframe)
+        self.prev_pose = self.pose
         self.state = TrackingState.NO_IMAGES_YET
         self.frame_id = -1
         self.frames_since_kf = 0
         self.kf_counter = 0  # keyframes created so far (mnId analogue,
         #   the age reference for found-ratio culling of recent points)
         self._lost_count = 0
-        self.trajectory: list[np.ndarray] = []
+        self.trajectory: list[tuple[float, np.ndarray]] = []
         # per-keyframe template snapshots (frame_id, nodes) for the
         # DefMapDrawer mesh-history view (viewer.export_template_history);
         # device arrays, materialized only at export
         self.template_history: list[tuple[int, object]] = []
+
+    def apply_tuning(self, overrides: dict) -> None:
+        """Live parameter overrides — the DefViewer regularizer sliders
+        (DefViewer.cc:53-120) re-expressed for a headless host.  Keys are
+        reference YAML names ('Regularizer.laplacian') or dotted config
+        paths ('sft.lm_iterations'); values are coerced to the field type.
+
+        The pipeline is flushed and the new Config becomes the kernels'
+        static argument: the next frame pays one recompile per changed
+        kernel (cached thereafter) — the cost of keeping every weight
+        compile-time constant on the hot path."""
+        import dataclasses as _dc
+
+        from defslam_tpu import config as cfgmod
+
+        self.flush()
+        cfg = self.cfg
+        for key, value in overrides.items():
+            cfg = cfgmod.replace_path(
+                cfg, cfgmod.reference_key_path(key), value
+            )
+        self.cfg = cfg
+        # re-derive config-dependent constants (camera / spline grids)
+        self.K = jnp.asarray(cfg.camera.K)
+        self.dom = cam.retina_domain(
+            self.K, cfg.camera.width, cfg.camera.height
+        )
+        self.topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
+        self.bend_warp = mapper.bending_for(
+            np.asarray(self.dom), cfg.mapping.warp_ctrl_u,
+            cfg.mapping.warp_ctrl_v,
+        )
+        self.bend_sfn = mapper.bending_for(
+            np.asarray(self.dom), cfg.mapping.sfn_ctrl_u,
+            cfg.mapping.sfn_ctrl_v,
+        )
 
     def restart(self):
         """System::Restart (System.cc:254-266): put the template back to its
@@ -274,13 +314,14 @@ class System:
             first_kf=jnp.zeros(p_cap, jnp.int32),
         )
         self.pose = jnp.eye(4)
+        self.prev_pose = self.pose
         self.kfs = store.add_keyframe(
             store.empty_keyframes(c), 0, self.pose, feats, retina,
             jnp.asarray(pid_of_kp), self.frame_id,
         )
         self.kf_counter = 1
         self.frames_since_kf = 0
-        self.trajectory.append(np.asarray(self.pose))
+        self.trajectory.append((timestamp, np.asarray(self.pose)))
         return True
 
     # ------------------------------------------------------------ tracking
@@ -290,12 +331,12 @@ class System:
         mesh-sharded path when Config.parallel.enabled."""
         if self.mesh is None:
             return tracker.track_frame(
-                img, self.points, self.pose, self.template, self.K,
-                self.cfg, window_scale=window_scale,
+                img, self.points, self.pose, self.prev_pose, self.template,
+                self.K, self.cfg, window_scale=window_scale,
             )
         return tracker.track_frame_parallel(
-            self.mesh, img, self.points, self.pose, self.template, self.K,
-            self.cfg, window_scale=window_scale,
+            self.mesh, img, self.points, self.pose, self.prev_pose,
+            self.template, self.K, self.cfg, window_scale=window_scale,
         )
 
     def _track(self, feats_or_img, timestamp: float) -> FrameResult:
@@ -341,7 +382,9 @@ class System:
         if not pipelined:
             return self._validate_and_commit(feats_or_img, out, timestamp)
         feats, matches, res, new_points, stats = out
-        backup = (self.pose, self.template, self.points, self.frames_since_kf)
+        backup = (self.pose, self.prev_pose, self.template, self.points,
+                  self.frames_since_kf)
+        self.prev_pose = self.pose
         self.pose = res.T
         self.template = self.template._replace(nodes=res.nodes)
         self.points = new_points
@@ -384,7 +427,7 @@ class System:
             n_matches >= c.tracking.min_inliers_ok
             and n_inliers >= c.tracking.min_inliers_ok
         ):
-            self.trajectory.append(pose_h)
+            self.trajectory.append((timestamp, pose_h))
             self._metrics[row].update(
                 matches=n_matches, inliers=n_inliers,
                 n_local=int(stats_h[2]), match_dropped=int(stats_h[3]),
@@ -399,7 +442,8 @@ class System:
         # Each frame's optimistic metrics row is replaced in place.
         rest = self._pending
         self._pending = []
-        self.pose, self.template, self.points, self.frames_since_kf = backup
+        (self.pose, self.prev_pose, self.template, self.points,
+         self.frames_since_kf) = backup
         replay = [(img, out, timestamp, row)] + [
             (im, None, ts, rw) for im, _out, ts, _bk, rw in rest
         ]
@@ -443,6 +487,7 @@ class System:
             )
             if bool(ok_r):
                 self.pose = T_r
+                self.prev_pose = T_r  # velocity reset after relocalization
                 feats, matches, res, new_points, stats = self._track_frame(
                     feats_or_img
                 )
@@ -450,14 +495,16 @@ class System:
                 n_matches, n_inliers = int(stats_h[0]), int(stats_h[1])
             if n_inliers < c.tracking.min_inliers_ok:
                 self.state = TrackingState.LOST
+                self.prev_pose = self.pose  # drop velocity when lost
                 self._record(timestamp, n_matches, n_inliers, False, False)
                 return FrameResult(np.asarray(self.pose), self.state,
                                    n_matches, n_inliers, False, False)
 
+        self.prev_pose = self.pose
         self.pose = res.T
         self.template = self.template._replace(nodes=res.nodes)
         self.points = new_points
-        self.trajectory.append(pose_h)
+        self.trajectory.append((timestamp, pose_h))
         self.state = TrackingState.OK
 
         self.frames_since_kf += 1
@@ -491,6 +538,11 @@ class System:
                 self.points = tracker.reposition_points(
                     self.points, res2.nodes, c
                 )
+        if is_kf:
+            # the keyframe step may re-register (Sim3 rescale) or re-anchor
+            # the pose: a velocity spanning that gauge jump would extrapolate
+            # garbage — drop it for one frame
+            self.prev_pose = self.pose
         self._record(timestamp, n_matches, n_inliers, is_kf, template_updated,
                      n_local=int(stats_h[2]), n_dropped=int(stats_h[3]))
         self._maybe_draw_frame(feats_or_img, feats, matches)
@@ -839,10 +891,33 @@ class System:
             for field_name, arr in zip(self.template._fields, self.template):
                 arrays[f"tmpl_{field_name}"] = np.asarray(arr)
         arrays["pose"] = np.asarray(self.pose)
+        arrays["prev_pose"] = np.asarray(self.prev_pose)
         arrays["meta"] = np.asarray(
             [self.frame_id, self.frames_since_kf, self.template_ref_kf,
-             self.state.value, self.kf_counter]
+             self.state.value, self.kf_counter, self._lost_count]
         )
+        # run history: resume must continue the Matches/Trajectory/ErrorGTs
+        # streams, not truncate them (SURVEY 5.4 "checkpointable state from
+        # day one" includes the metric pipeline)
+        import json as _json
+
+        arrays["metrics_json"] = np.frombuffer(
+            _json.dumps(self._metrics).encode(), np.uint8
+        )
+        if self.trajectory:
+            arrays["traj_ts"] = np.asarray([t for t, _ in self.trajectory])
+            arrays["traj_T"] = np.stack(
+                [np.asarray(T) for _, T in self.trajectory]
+            )
+        if self.template_history:
+            arrays["hist_fid"] = np.asarray(
+                [f for f, _ in self.template_history], np.int64
+            )
+            arrays["hist_nodes"] = np.stack(
+                [np.asarray(n) for _, n in self.template_history]
+            )
+        if getattr(self, "_gt_eval", None) is not None and self._gt_eval.rows:
+            arrays["gt_rows"] = np.asarray(self._gt_eval.rows, np.float64)
         np.savez_compressed(path, **arrays)
 
     def load_state(self, path: str):
@@ -859,12 +934,34 @@ class System:
                 *[jnp.asarray(data[f"tmpl_{f}"]) for f in meshmod.Template._fields]
             )
         self.pose = jnp.asarray(data["pose"])
+        self.prev_pose = (
+            jnp.asarray(data["prev_pose"]) if "prev_pose" in data else self.pose
+        )
         meta = data["meta"]
         self.frame_id = int(meta[0])
         self.frames_since_kf = int(meta[1])
         self.template_ref_kf = int(meta[2])
         self.state = TrackingState(int(meta[3]))
         self.kf_counter = int(meta[4]) if len(meta) > 4 else 1
+        self._lost_count = int(meta[5]) if len(meta) > 5 else 0
+        if "metrics_json" in data:
+            import json as _json
+
+            self._metrics = _json.loads(bytes(data["metrics_json"]).decode())
+        if "traj_ts" in data:
+            self.trajectory = [
+                (float(t), T)
+                for t, T in zip(data["traj_ts"], data["traj_T"])
+            ]
+        if "hist_fid" in data:
+            self.template_history = [
+                (int(f), jnp.asarray(n))
+                for f, n in zip(data["hist_fid"], data["hist_nodes"])
+            ]
+        if "gt_rows" in data:
+            self._gt_evaluator().rows = [
+                tuple(r) for r in data["gt_rows"]
+            ]
 
     # ------------------------------------------------------------- metrics
 
@@ -916,8 +1013,12 @@ class System:
                     f"{m.get('n_local', 0)} {n_points_valid}\n"
                 )
         with open(os.path.join(outdir, "Trajectory.txt"), "w") as f:
-            for T in self.trajectory:
-                f.write(" ".join(f"{x:.8f}" for x in T.reshape(-1)) + "\n")
+            for ts, T in self.trajectory:
+                f.write(
+                    f"{ts:.6f} "
+                    + " ".join(f"{x:.8f}" for x in np.asarray(T).reshape(-1))
+                    + "\n"
+                )
         if getattr(self, "_gt_eval", None) is not None:
             self._gt_eval.outdir = outdir
             self._gt_eval.write()

@@ -118,8 +118,12 @@ def relocalize(
             feats.desc, kfs.desc[slot], feats.valid,
             kfs.kp_valid[slot] & (kfs.point_id[slot] >= 0),
         )
+        # the reference relocalizes with a STRICTER ratio than tracking:
+        # ORBmatcher(0.75, true) in Tracking::Relocalization
+        # (Tracking.cc:1654-1656) vs mfNNratio 0.9 for projection tracking
         m = matching.best_match(
-            d, max_dist=cfg.tracking.match_th_low, nn_ratio=0.85, mutual=True
+            d, max_dist=cfg.tracking.match_th_low,
+            nn_ratio=0.75, mutual=True,
         )
         votes = jnp.sum((m.idx >= 0) & kfs.valid[slot])
         return votes, m.idx

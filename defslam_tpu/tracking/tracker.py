@@ -220,11 +220,34 @@ def sft_track_sharded(
     return _scatter_sft_result(res, sel, sel_mask, points.capacity)
 
 
+def motion_model_prediction(
+    pose: jnp.ndarray, prev_pose: jnp.ndarray
+) -> jnp.ndarray:
+    """Constant-velocity pose prediction (TrackWithMotionModel's
+    ``mVelocity * mLastFrame.mTcw`` seed, DefTracking.cc:342-408 /
+    Tracking.cc:1018+): velocity = T_t o T_{t-1}^{-1}, prediction for the
+    next frame = velocity o T_t.  With prev_pose == pose the prediction is
+    the current pose (empty-velocity fallback).  Without this seed a
+    translating camera's motion is partially absorbed by the mesh — camera
+    translation and a rigid surface translation are SfT-indistinguishable
+    up to the (weak) temporal term, so the solver must START near the true
+    camera pose for the split to come out right.
+
+    Both inputs are re-orthonormalized first: float32 drift off SO(3) is
+    amplified geometrically by the transpose-inverse in the velocity
+    composition (observed: 1e-4 -> 0.77 orthonormality error in 10 frames
+    without this), and the prediction feeds back into the next pose."""
+    pose = se3.orthonormalize(pose)
+    vel = pose @ se3.inverse(se3.orthonormalize(prev_pose))
+    return vel @ pose
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "window_scale"))
 def track_frame(
     img: jnp.ndarray,
     points: PointStore,
     pose: jnp.ndarray,
+    prev_pose: jnp.ndarray,
     tmpl: meshmod.Template,
     K: jnp.ndarray,
     cfg: Config,
@@ -240,12 +263,13 @@ def track_frame(
     """
     from defslam_tpu.frontend import extract_features
 
+    pred = motion_model_prediction(pose, prev_pose)
     feats = extract_features(img, cfg)
     matches = match_points_to_frame(
-        points, pose, K, feats, cfg,
+        points, pred, K, feats, cfg,
         window=window_scale * cfg.tracking.projection_window,
     )
-    res = sft_track(points, matches, feats, tmpl, pose, K, cfg)
+    res = sft_track(points, matches, feats, tmpl, pred, K, cfg)
     new_points = _reposition(points, res.nodes, cfg)
     # refresh per-point angles from the matched frame keypoints so the next
     # frame's rotation histogram compares against THIS frame (LastFrame);
@@ -283,6 +307,7 @@ def track_frame_parallel(
     img: jnp.ndarray,
     points: PointStore,
     pose: jnp.ndarray,
+    prev_pose: jnp.ndarray,
     tmpl: meshmod.Template,
     K: jnp.ndarray,
     cfg: Config,
@@ -295,12 +320,13 @@ def track_frame_parallel(
     Same outputs as :func:`track_frame`."""
     from defslam_tpu.frontend import extract_features
 
+    pred = motion_model_prediction(pose, prev_pose)
     feats = extract_features(img, cfg)
     matches = match_points_to_frame(
-        points, pose, K, feats, cfg,
+        points, pred, K, feats, cfg,
         window=window_scale * cfg.tracking.projection_window,
     )
-    res = sft_track_sharded(mesh, points, matches, feats, tmpl, pose, K, cfg)
+    res = sft_track_sharded(mesh, points, matches, feats, tmpl, pred, K, cfg)
     new_points = reposition_points(points, res.nodes, cfg)
     kp = jnp.clip(matches.kp_of_point, 0, feats.capacity - 1)
     new_points = new_points._replace(

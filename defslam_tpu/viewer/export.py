@@ -32,14 +32,18 @@ def export_trajectory_tum(path: str, trajectory, timestamps=None):
     from scipy.spatial.transform import Rotation
 
     with open(path, "w") as f:
-        for i, T in enumerate(trajectory):
+        for i, item in enumerate(trajectory):
+            if isinstance(item, tuple):  # System.trajectory: (ts, pose)
+                ts, T = item
+            else:
+                ts = timestamps[i] if timestamps is not None else float(i)
+                T = item
             T = np.asarray(T)
             # camera center in world = -R^T t
             R = T[:3, :3]
             t = T[:3, 3]
             c = -R.T @ t
             q = Rotation.from_matrix(R.T).as_quat()  # (x, y, z, w)
-            ts = timestamps[i] if timestamps is not None else float(i)
             f.write(
                 f"{ts:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
                 f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"

@@ -236,3 +236,55 @@ def test_profiling_stage_report_in_system():
         profiling.enable(False)
     assert "frame.dispatch" in rows and rows["frame.dispatch"]["count"] >= 4
     assert "keyframe.dispatch" in rows
+
+
+def test_replace_path_and_reference_keys():
+    """Live-tuning plumbing: reference YAML keys and dotted paths resolve,
+    values coerce to the field's type (int stays int — jit static-arg
+    hashing), unknown keys raise loudly."""
+    from defslam_tpu import config as cfgmod
+
+    cfg = cfgmod.Config()
+    c2 = cfgmod.replace_path(
+        cfg, cfgmod.reference_key_path("Regularizer.laplacian"), 950
+    )
+    assert c2.regularizer.laplacian == 950.0
+    assert isinstance(c2.regularizer.laplacian, float)
+    c3 = cfgmod.replace_path(
+        cfg, cfgmod.reference_key_path("sft.lm_iterations"), 12.0
+    )
+    assert c3.sft.lm_iterations == 12 and isinstance(c3.sft.lm_iterations, int)
+    assert cfg.sft.lm_iterations != 12  # original untouched (frozen tree)
+    with pytest.raises(KeyError):
+        cfgmod.replace_path(cfg, ("sft", "no_such_knob"), 1)
+
+
+def test_apply_tuning_live(tmp_path):
+    """System.apply_tuning mid-run — the DefViewer regularizer-slider
+    workflow (DefViewer.cc:53-120): weights change, tracking continues."""
+    from defslam_tpu.config import (
+        CapacityConfig, Config, OrbConfig, SfTConfig, TrackingConfig,
+    )
+    from defslam_tpu.io.synthetic import make_sequence
+    from defslam_tpu.system import System
+
+    seq = make_sequence(n_frames=6, height=100, width=120, max_amp=0.04)
+    cfg = Config(
+        camera=seq.camera,
+        orb=OrbConfig(n_features=150, n_levels=2, max_keypoints=192),
+        sft=SfTConfig(lm_iterations=10),
+        capacity=CapacityConfig(max_map_points=256, max_keyframes=4),
+        tracking=TrackingConfig(keyframe_period=4),
+    )
+    sys_ = System(cfg)
+    for t in range(3):
+        sys_.track_monocular(seq.frames[t], timestamp=float(t))
+    sys_.apply_tuning(
+        {"Regularizer.laplacian": 900, "sft.lm_iterations": 8}
+    )
+    assert sys_.cfg.regularizer.laplacian == 900.0
+    assert sys_.cfg.sft.lm_iterations == 8
+    for t in range(3, 6):
+        sys_.track_monocular(seq.frames[t], timestamp=float(t))
+    sys_.flush()
+    assert sys_._metrics[-1]["state"] == "OK"

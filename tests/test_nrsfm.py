@@ -168,6 +168,73 @@ def test_normals_curved_surface_two_views():
     assert np.median(ang[inner]) < 6.0, f"median normal error {np.median(ang[inner]):.2f} deg"
 
 
+def test_cov_gate_scale_separates_populations():
+    """Pin COV_GATE_SCALE (mapper.py): the covNorm reliability gate must
+    pass well-conditioned normals (diverse-baseline observations) and
+    reject degenerate ones (near-identity warps constrain (k1,k2) only
+    through float noise).  The two-populations claim — conditioned cov
+    diag O(1), degenerate >> gate — was previously a docstring assertion;
+    this test constructs both and checks the default gate (reliability
+    0.7 -> 70) lands between them."""
+    from defslam_tpu.mapping import mapper
+
+    # population A: two genuinely different viewpoints
+    m1 = se3.se3_exp(jnp.asarray([0.06, -0.02, 0.05, 0.08, -0.05, 0.02]))
+    m2 = se3.se3_exp(jnp.asarray([-0.04, 0.05, 0.09, -0.06, 0.07, -0.04]))
+    uv1, uv2a, _, _ = _surface_pair(m1, n_pts=200)
+    _, uv2b, _, _ = _surface_pair(m2, n_pts=200)
+    dom = _dom(uv1)
+    dps = []
+    for uv2 in (uv2a, uv2b):
+        ctrl = _fit_warp(uv1, uv2, dom)
+        dps.append(
+            warp.diff_props(
+                ctrl, uv1, uv2, jnp.ones(len(uv1), bool), dom, 500.0, 500.0, 10.0
+            )
+        )
+    res_good = nrm.solve_k1k2(_stack_pair_obs(dps), jnp.zeros((len(uv1), 2)))
+
+    # population B: two nearly-identical viewpoints (short baseline)
+    eps1 = se3.se3_exp(jnp.asarray([1e-4, -5e-5, 8e-5, 1e-4, -8e-5, 5e-5]))
+    eps2 = se3.se3_exp(jnp.asarray([-8e-5, 9e-5, 5e-5, -6e-5, 1e-4, -9e-5]))
+    _, uv2c, _, _ = _surface_pair(eps1, n_pts=200)
+    _, uv2d, _, _ = _surface_pair(eps2, n_pts=200)
+    dps_bad = []
+    for uv2 in (uv2c, uv2d):
+        ctrl = _fit_warp(uv1, uv2, dom)
+        dps_bad.append(
+            warp.diff_props(
+                ctrl, uv1, uv2, jnp.ones(len(uv1), bool), dom, 500.0, 500.0, 10.0
+            )
+        )
+    res_bad = nrm.solve_k1k2(_stack_pair_obs(dps_bad), jnp.zeros((len(uv1), 2)))
+
+    reliability = 0.7  # the shipped YAML value (Regularizer.Reliability)
+    # NOTE: this test CALIBRATES mapper.COV_GATE_SCALE — if the normal
+    # solver's residual scaling changes, re-derive the constant from the
+    # printed populations instead of loosening the margins.
+    pass_good = np.asarray(mapper.normal_reliability_gate(res_good, reliability))
+    pass_bad = np.asarray(mapper.normal_reliability_gate(res_bad, reliability))
+    # interior points (spline derivatives degrade at the rim)
+    inner = (
+        (np.abs(np.asarray(uv1[:, 0])) < 0.25)
+        & (np.abs(np.asarray(uv1[:, 1])) < 0.18)
+    )
+    assert pass_good[inner].mean() > 0.9, (
+        f"gate rejects conditioned normals: {pass_good[inner].mean():.2f}"
+    )
+    assert pass_bad[inner].mean() < 0.1, (
+        f"gate passes degenerate normals: {pass_bad[inner].mean():.2f}"
+    )
+    # the populations must be separated by ORDERS of magnitude, not sit
+    # near the gate: median conditioned cov << gate << median degenerate
+    cd_good = np.median(np.asarray(res_good.cov)[inner, 0, 0])
+    cd_bad = np.median(np.asarray(res_bad.cov)[inner, 0, 0])
+    gate = reliability * mapper.COV_GATE_SCALE
+    assert cd_good < gate / 10, f"conditioned cov {cd_good:.2f} too close to gate {gate}"
+    assert cd_bad > gate * 10, f"degenerate cov {cd_bad:.2f} too close to gate {gate}"
+
+
 def test_sfn_recovers_depth():
     # exact normals of the analytic surface -> depth up to scale
     rng = np.random.default_rng(2)
@@ -226,3 +293,141 @@ def test_registration_rejects_garbage():
         surf, surf, jnp.asarray(np.arange(100) < 5), chi_limit=0.07
     )
     assert not bool(res2.accepted)
+
+
+def test_obs_cap_8_adequate_vs_32():
+    """OBS_CAP sensitivity (round-3 VERDICT weak #9): on a 10-warp
+    covisibility neighborhood (the reference's lifelong SchwarpDatabase
+    accumulates every pair, SchwarpDatabase.cc:83-118; we cap per-step
+    observation tables), normals solved with the shipped cap of 8 must
+    match normals solved with cap 32 within a fraction of a degree."""
+    from defslam_tpu.mapping import mapper
+
+    rng = np.random.default_rng(11)
+    n_pts = 200
+    uv1 = uv2s = None
+    dps = []
+    for i in range(10):
+        xi = rng.normal(0, 0.05, 6)
+        motion = se3.se3_exp(jnp.asarray(xi, jnp.float32))
+        uv1_i, uv2, _, k_true = _surface_pair(motion, n_pts=n_pts, seed=11)
+        uv1 = uv1_i
+        dom = _dom(uv1)
+        ctrl = _fit_warp(uv1, uv2, dom)
+        dps.append(
+            warp.diff_props(
+                ctrl, uv1, uv2, jnp.ones(n_pts, bool), dom, 500.0, 500.0, 10.0
+            )
+        )
+
+    # pair-major observation tables (10 pairs x n_pts observations each)
+    pid = jnp.tile(jnp.arange(n_pts, dtype=jnp.int32)[None], (10, 1))
+    mask = jnp.stack([dp.mask for dp in dps])
+    uv1_t = jnp.stack([dp.uv1 for dp in dps])
+    warped = jnp.stack([dp.warped for dp in dps])
+    J12 = jnp.stack([dp.J12 for dp in dps])
+    Huu = jnp.stack([dp.Huu for dp in dps])
+    Hvv = jnp.stack([dp.Hvv for dp in dps])
+
+    def solve_at_cap(cap):
+        obs, dropped = mapper.accumulate_obs_device(
+            pid, mask, uv1_t, warped, J12, Huu, Hvv, n_pts, obs_cap=cap
+        )
+        res = nrm.solve_k1k2(obs, jnp.zeros((n_pts, 2)))
+        n_est = np.asarray(nrm.normal_from_k(res.k, uv1))
+        n_true = np.asarray(nrm.normal_from_k(k_true, uv1))
+        cos = np.abs(
+            np.sum(n_est * n_true, 1)
+            / (np.linalg.norm(n_est, axis=1) * np.linalg.norm(n_true, axis=1)
+               + 1e-12)
+        )
+        return np.degrees(np.arccos(np.clip(cos, 0, 1))), int(dropped)
+
+    inner = (
+        (np.abs(np.asarray(uv1[:, 0])) < 0.25)
+        & (np.abs(np.asarray(uv1[:, 1])) < 0.18)
+    )
+    ang8, dropped8 = solve_at_cap(8)
+    ang32, dropped32 = solve_at_cap(32)
+    assert dropped8 > 0  # the cap actually binds in this construction
+    assert dropped32 == 0
+    m8, m32 = np.median(ang8[inner]), np.median(ang32[inner])
+    assert m32 < 8.0, f"cap-32 normals bad ({m32:.2f} deg): test construction broken"
+    assert m8 - m32 < 1.0, (
+        f"OBS_CAP=8 costs {m8 - m32:.2f} deg over cap 32 ({m8:.2f} vs {m32:.2f})"
+    )
+
+
+def test_shared_vs_bbox_retina_domain_offcenter():
+    """Retina-domain sensitivity (round-3 VERDICT missing #3): the
+    reference derives each keyframe's warp domain from its keypoint
+    bounding box + 0.10 margin (DefKeyFrame::NormaliseKeypoints,
+    DefKeyFrame.cc:94-133); we use one shared camera-wide domain
+    (mapper.py docstring).  On an endoscopy-like OFF-CENTER cloud filling
+    ~1/8 of the field of view, quantify the cost: warp prediction error
+    and normal accuracy under both domains."""
+    rng = np.random.default_rng(7)
+    n_pts = 300
+    # off-center cloud: u in [0.05, 0.33], v in [-0.28, -0.08] of a camera
+    # whose full retina spans roughly [-0.4, 0.4] x [-0.3, 0.3]
+    x = rng.uniform(0.05, 0.33, n_pts)
+    y = rng.uniform(-0.28, -0.08, n_pts)
+    amp = 0.15
+    z = 1.0 + amp * np.sin(2 * x) * np.cos(y)
+    P1 = jnp.asarray(np.stack([x, y, z], 1), jnp.float32)
+    motion = se3.se3_exp(jnp.asarray([0.06, -0.02, 0.05, 0.08, -0.05, 0.02]))
+    P2 = se3.transform(motion, P1)
+    uv1 = P1[:, :2] / P1[:, 2:3]
+    uv2 = P2[:, :2] / P2[:, 2:3]
+    hx = 2 * amp * np.cos(2 * x) * np.cos(y)
+    hy = -amp * np.sin(2 * x) * np.sin(y)
+    N = np.stack([-hx, -hy, np.ones_like(hx)], 1)
+    eta = np.stack(
+        [np.asarray(uv1[:, 0]), np.asarray(uv1[:, 1]), np.ones(n_pts)], 1
+    )
+    k_true = jnp.asarray(
+        N[:, :2] / np.sum(N * eta, axis=1, keepdims=True), jnp.float32
+    )
+
+    dom_camera = jnp.asarray([-0.4, 0.4, -0.3, 0.3], jnp.float32)
+    dom_bbox = _dom(uv1, margin=0.10)  # the reference's +0.10 margin
+
+    def errors_for(dom):
+        ctrl = _fit_warp(uv1, uv2, dom)
+        dp = warp.diff_props(
+            ctrl, uv1, uv2, jnp.ones(n_pts, bool), dom, 500.0, 500.0, 10.0
+        )
+        warp_px = float(np.median(
+            np.linalg.norm(np.asarray(dp.warped - uv2), axis=1) * 500.0
+        ))
+        res = nrm.solve_k1k2(
+            nrm.PairObs(*[a[:, None] if a.ndim == 1 else a[:, None, ...]
+                          for a in nrm.pair_obs(dp)]),
+            jnp.zeros((n_pts, 2)),
+        )
+        n_est = np.asarray(nrm.normal_from_k(res.k, uv1))
+        n_true = np.asarray(nrm.normal_from_k(k_true, uv1))
+        cos = np.abs(
+            np.sum(n_est * n_true, 1)
+            / (np.linalg.norm(n_est, axis=1)
+               * np.linalg.norm(n_true, axis=1) + 1e-12)
+        )
+        ang = np.degrees(np.arccos(np.clip(cos, 0, 1)))
+        return warp_px, float(np.median(ang))
+
+    warp_cam, ang_cam = errors_for(dom_camera)
+    warp_bb, ang_bb = errors_for(dom_bbox)
+    # the bbox domain concentrates the full 13x15 control grid on the
+    # cloud; the shared domain gives it ~a quarter of the control points.
+    # Bound the cost: shared-domain warp error within 1 px and normals
+    # within 3 deg of the bbox domain (if this fails, per-KF domains must
+    # be implemented, not documented)
+    assert warp_bb < 1.0, f"bbox-domain warp fit broken ({warp_bb:.2f} px)"
+    assert warp_cam - warp_bb < 1.0, (
+        f"shared domain costs {warp_cam - warp_bb:.2f} px warp error "
+        f"({warp_cam:.2f} vs {warp_bb:.2f})"
+    )
+    assert ang_cam - ang_bb < 3.0, (
+        f"shared domain costs {ang_cam - ang_bb:.2f} deg normal error "
+        f"({ang_cam:.2f} vs {ang_bb:.2f})"
+    )

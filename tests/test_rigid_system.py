@@ -191,8 +191,9 @@ def test_close_loop_corrects_drift():
     err_before = float(np.linalg.norm(
         np.asarray(kfs.pose[7])[:3, 3] - T_true[7][:3, 3]
     ))
-    closed, kfs2, pts2 = loop_closing.close_loop(kfs, pts, 7, K, cfg)
+    closed, kfs2, pts2, cand = loop_closing.close_loop(kfs, pts, 7, K, cfg)
     assert closed
+    assert cand == 0
     err_after = float(np.linalg.norm(
         np.asarray(kfs2.pose[7])[:3, 3] - T_true[7][:3, 3]
     ))
@@ -205,6 +206,50 @@ def test_close_loop_corrects_drift():
     np.testing.assert_allclose(
         np.asarray(pts2.xyz[:100]), X, atol=1e-3
     )
+
+
+def test_loop_fuse_and_global_ba_beats_graph_only():
+    """CorrectLoop completion (LoopClosing.cc:496-741): after the essential
+    graph, SearchAndFuse must merge the duplicated loop-side landmarks and
+    the global BA must reduce reprojection error below the graph-only
+    solution (the round-3 VERDICT's measurable-improvement criterion)."""
+    from defslam_tpu.geometry import camera as cam
+    from defslam_tpu.rigid import triangulation as tri
+
+    cfg, K, kfs, pts, T_true, X, X_dup = _loop_world()
+    sig2 = tri.level_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor)
+    closed, kfs_g, pts_g, cand = loop_closing.close_loop(kfs, pts, 7, K, cfg)
+    assert closed
+
+    def mean_reproj(kfs_, pts_):
+        errs = []
+        for s in (0, 7):
+            pid = np.asarray(kfs_.point_id[s])
+            kpv = np.asarray(kfs_.kp_valid[s])
+            sel = (pid >= 0) & kpv
+            xyz = np.asarray(pts_.xyz)[pid[sel]]
+            uv = np.asarray(cam.project(
+                K, se3.transform(jnp.asarray(kfs_.pose[s]), jnp.asarray(xyz))
+            ))
+            errs.append(np.linalg.norm(
+                uv - np.asarray(kfs_.xy[s])[sel], axis=1
+            ))
+        return float(np.mean(np.concatenate(errs)))
+
+    # close_loop already ran replace_loop_matches (the ungated Sim3-match
+    # replacement of LoopClosing.cc:462-478); the 200 initial points (100
+    # originals + 100 drifted duplicates) must be mostly merged by the
+    # replacement + SearchAndFuse passes combined
+    err_graph_only = mean_reproj(kfs_g, pts_g)
+    kfs_f, pts_f, n_fused = loop_closing.fuse_and_global_ba(
+        kfs_g, pts_g, 7, cand, K, sig2, cfg
+    )
+    n_valid_after = int(np.asarray(pts_f.valid).sum())
+    assert n_valid_after <= 120, (
+        f"{n_valid_after} valid points left of 200 (duplicates not merged)"
+    )
+    err_fused = mean_reproj(kfs_f, pts_f)
+    assert err_fused < 0.5 * err_graph_only, (err_graph_only, err_fused)
 
 
 def test_orbslam_cli_mode(tmp_path, monkeypatch):

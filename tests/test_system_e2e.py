@@ -131,5 +131,6 @@ def test_pipelined_matches_synchronous(seq):
     for ma, mb in zip(a._metrics, b._metrics):
         assert ma == mb, (ma, mb)
     assert len(a.trajectory) == len(b.trajectory)
-    for ta, tb in zip(a.trajectory, b.trajectory):
+    for (tsa, ta), (tsb, tb) in zip(a.trajectory, b.trajectory):
+        assert tsa == tsb
         np.testing.assert_allclose(ta, tb, atol=1e-6)
