@@ -100,6 +100,13 @@ class SfTConfig:
     lm_lambda_init: float = 1e-4
     lm_lambda_max: float = 1e8
     lm_lambda_min: float = 1e-10
+    # early-exit: stop when an accepted step improves the cost by less
+    # than lm_rtol * cost.  The reference's g2o loop always runs its full
+    # 50 iterations; the while_loop exit trades identical-accuracy late
+    # iterations for frame latency (accuracy-gated in bench.py and the
+    # mid-scale e2e).  1e-5 measured cost-identical to 1e-6 at 2/3 the
+    # solve time on the full-scale bench frame (round 4)
+    lm_rtol: float = 1e-5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,7 +131,13 @@ class MappingConfig:
     warp_ctrl_u: int = 13
     warp_ctrl_v: int = 15
     schwarp_lm_iterations: int = 3
-    normal_lm_iterations: int = 30
+    # per-point (k1,k2) normal solves are warm-started from the previous
+    # keyframe step; 12 LM iterations measured indistinguishable from 30
+    # on the synthetic accuracy gates while the vmapped solve is the
+    # largest single block of keyframe-chain device time (round-4 trace).
+    # The reference allows Ceres up to 200 but converges far earlier
+    # (NormalEstimator.cc:139)
+    normal_lm_iterations: int = 12
     # minimum covisible shared points for a warp pair (SchwarpDatabase.cc:83)
     min_shared_points: int = 20
     # warp reprojection error gate in px (SchwarpDatabase.cc:288-292)
@@ -187,6 +200,12 @@ class TrackingConfig:
     match_th_low: int = 50  # ORBmatcher.h TH_LOW
     nn_ratio: float = 0.9
     min_inliers_ok: int = 10
+    # consecutive LOST frames tolerated (relocalization attempts against
+    # the stored keyframes) before the map is reset and re-initialized.
+    # The reference's DefSLAM mode resets immediately
+    # (DefTracking.cc:194-207); its ORBSLAM mode relocalizes forever —
+    # this knob spans both, sized to survive a multi-frame full occlusion
+    lost_patience: int = 10
     # candidate compaction for the per-frame projection search: only valid
     # template-embedded in-frustum points enter the (P, K) match tensors,
     # gathered into this many slots (the reference's grid lookup touches

@@ -61,6 +61,7 @@ def make_sequence(
     fov_scale: float = 1.0,
     camera_motion: float = 0.0,
     baseline: float = 0.0,
+    occlusion: tuple[int, int] | None = None,
 ) -> SyntheticSequence:
     """Render a deforming textured surface.
 
@@ -72,6 +73,10 @@ def make_sequence(
     baseline > 0 additionally renders a rectified right view from a camera
     displaced by that distance along +x (the DefSLAMGT stereo-pair layout,
     Apps/stereo_groundtruth.cc).
+
+    occlusion = (first, last) blanks frames [first, last] to near-uniform
+    gray (a surgical-tool sweep / full occlusion): tracking must go LOST
+    and recover by relocalization when the scene reappears.
     """
     cam = CameraConfig(
         fx=200.0 * fov_scale * width / 160.0,
@@ -124,6 +129,10 @@ def make_sequence(
         if frames_r is not None:
             frames_r[t], _ = render(cx_w + baseline, amps[t])
         poses[t, 0, 3] = -cx_w  # world->camera: x' = x - cx_w
+        if occlusion is not None and occlusion[0] <= t <= occlusion[1]:
+            frames[t] = 128.0  # featureless: FAST finds nothing
+            if frames_r is not None:
+                frames_r[t] = 128.0
     return SyntheticSequence(
         frames=frames, depths=depths, poses=poses, amps=amps, camera=cam,
         frames_right=frames_r,

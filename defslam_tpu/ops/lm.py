@@ -127,11 +127,14 @@ def lm_solve(
         )
         return (x, r, w, lam, cost, i + 1, converged | (lam >= lam_max))
 
+    # zero-cost problems (fully masked / padding lanes) are done before
+    # they start: under vmap the while_loop runs until EVERY lane's cond
+    # is false, so idle lanes must not keep the batch spinning
     x, _, _, lam, cost, _, _ = jax.lax.while_loop(
         cond,
         body,
         (x0, r0, w0, jnp.asarray(lam0, x0.dtype), c0, jnp.asarray(0),
-         jnp.asarray(False)),
+         c0 <= 0.0),
     )
     # final normal matrix for covariance consumers
     rF = residual_fn(x)

@@ -205,10 +205,14 @@ class System:
             TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED,
         )
         if self.state == TrackingState.LOST:
-            # keep trying to relocalize against the existing map for a few
-            # frames; only then give up and re-initialize (the reference's
-            # DefSLAM mode resets immediately, DefTracking.cc:194-207)
-            if self.template is None or self._lost_count >= 5:
+            # keep trying to relocalize against the existing map for
+            # `lost_patience` frames; only then give up and re-initialize
+            # (the reference's DefSLAM mode resets immediately,
+            # DefTracking.cc:194-207; ORBSLAM mode relocalizes forever)
+            if (
+                self.template is None
+                or self._lost_count >= self.cfg.tracking.lost_patience
+            ):
                 reinit = True
         if reinit:
             self.flush()
@@ -345,10 +349,14 @@ class System:
         the OLDEST in-flight frame's stats readback (one host<->device
         round trip) overlaps up to D frames of device compute — the
         reference's PARALLEL-mode overlap (System.cc:140-142) re-expressed
-        for async dispatch.  Keyframe frames synchronize (the mapping step
-        swaps stores the in-flight frames were not computed against);
-        tracking failures are detected up to D frames late, rolled back
-        from a state backup, and the failed frame plus every newer
+        for async dispatch.  KEYFRAME frames are pipelined too: the fused
+        keyframe_step is dispatched on the frame's unvalidated outputs
+        (store-level state is snapshotted first, because the step donates
+        the store buffers), so the ~tens-of-ms mapping chain never makes
+        the host drain the queue — the round-3 p99 spike was exactly this
+        drain.  Tracking failures are detected up to D frames late, rolled
+        back from the state backups (including undoing an optimistic
+        keyframe insertion), and the failed frame plus every newer
         in-flight frame are reprocessed through the exact synchronous retry
         ladder, in frame order."""
         c = self.cfg
@@ -358,8 +366,11 @@ class System:
         )
         pipelined = (
             c.tracking.pipelined
-            and not will_kf
             and self.state == TrackingState.OK
+            # the GT harness reads validated per-keyframe state right after
+            # the step, and the legacy multi-chip mapping path orchestrates
+            # on host — both keep the synchronous keyframe protocol
+            and not (will_kf and (c.save_results or self.mesh is not None))
         )
         from defslam_tpu import profiling
 
@@ -388,18 +399,38 @@ class System:
         self.pose = res.T
         self.template = self.template._replace(nodes=res.nodes)
         self.points = new_points
-        self.frames_since_kf += 1
+        kf_backup = None
+        if will_kf:
+            # optimistic keyframe insertion: snapshot the store-level state
+            # (COPIES — keyframe_step donates the kfs/points buffers, so a
+            # bare reference would die with the donation), consume the
+            # previous keyframe's diag, then dispatch the mapping chain
+            # async.  A later validation failure restores this snapshot.
+            self._finalize_pending_map()
+            kf_backup = (
+                jax.tree.map(jnp.copy, self.kfs),
+                self.kf_counter,
+                self.template_ref_kf,
+                len(self.template_history),
+            )
+            self._insert_keyframe(feats, matches, res)
+            # keyframe steps may re-register/re-anchor the pose (gauge
+            # jump) — reset the motion model like the synchronous path
+            self.prev_pose = self.pose
+            self.frames_since_kf = 0
+        else:
+            self.frames_since_kf += 1
         # record the frame's metrics row NOW (frame order preserved) with
         # placeholder counts; the deferred readback backfills the true
         # values in place (Matches.txt rows end up frame-ordered, -1-free)
-        self._record(timestamp, -1, -1, False, False)
+        self._record(timestamp, -1, -1, will_kf, False)
         # start the device->host transfer of the deferred-validation scalars
         # NOW so the later device_get is a local read instead of a full
         # round trip (the tunnel RTT is a large fraction of the frame budget)
         for a in (stats, res.T):
             a.copy_to_host_async()
         self._pending.append((feats_or_img, out, timestamp, backup,
-                              len(self._metrics) - 1))
+                              len(self._metrics) - 1, kf_backup))
         # optimistic result: pose is the (device) SfT output, match counts
         # are unknown until the deferred readback (-1 sentinels); the true
         # counts land in the metrics at finalization
@@ -418,7 +449,7 @@ class System:
         back and the failed frame plus every newer in-flight frame were
         reprocessed through the synchronous retry/relocalize ladder (the
         queue is empty afterwards)."""
-        img, out, timestamp, backup, row = self._pending.pop(0)
+        img, out, timestamp, backup, row, kf_backup = self._pending.pop(0)
         c = self.cfg
         feats, matches, res, new_points, stats = out
         stats_h, pose_h = jax.device_get((stats, res.T))
@@ -444,8 +475,21 @@ class System:
         self._pending = []
         (self.pose, self.prev_pose, self.template, self.points,
          self.frames_since_kf) = backup
+        # undo any optimistic keyframe insertion among the failed + newer
+        # frames: store mutations happen only at keyframe entries and in
+        # order, so the OLDEST keyframe snapshot is the pre-mutation state
+        for kb in [kf_backup] + [e[5] for e in rest]:
+            if kb is not None:
+                kfs_snap, kf_counter, tmpl_ref, n_hist = kb
+                self.kfs = kfs_snap
+                self.kf_counter = kf_counter
+                self.template_ref_kf = tmpl_ref
+                del self.template_history[n_hist:]
+                # the in-flight mapping diag belongs to the undone step
+                self._pending_map = None
+                break
         replay = [(img, out, timestamp, row)] + [
-            (im, None, ts, rw) for im, _out, ts, _bk, rw in rest
+            (im, None, ts, rw) for im, _out, ts, _bk, rw, _kb in rest
         ]
         for im, out_i, ts, rw in replay:
             if out_i is None:

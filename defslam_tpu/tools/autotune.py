@@ -94,22 +94,50 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument(
+        "--midscale", action="store_true",
+        help="tune on the 320x240 re-templating fixture "
+             "(the test_ct_accuracy_midscale scale) instead of the smoke "
+             "fixture — the Twiddle.py end-to-end evidence run",
+    )
     args = ap.parse_args(argv)
     from defslam_tpu.config import (
-        CapacityConfig, Config, OrbConfig, SfTConfig, TrackingConfig,
+        CapacityConfig, Config, MappingConfig, OrbConfig, SfTConfig,
+        TrackingConfig,
     )
     from defslam_tpu.io.synthetic import make_sequence
 
-    seq = make_sequence(n_frames=args.frames, height=120, width=160, max_amp=0.06)
-    cfg = Config(
-        camera=seq.camera,
-        orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
-        sft=SfTConfig(lm_iterations=20),
-        tracking=TrackingConfig(keyframe_period=5),
-        capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+    if args.midscale:
+        seq = make_sequence(n_frames=max(args.frames, 16), height=240,
+                            width=320, max_amp=0.07, seed=7)
+        cfg = Config(
+            camera=seq.camera,
+            orb=OrbConfig(n_features=500, n_levels=4, max_keypoints=640),
+            sft=SfTConfig(lm_iterations=25),
+            tracking=TrackingConfig(keyframe_period=5),
+            capacity=CapacityConfig(max_map_points=2048, max_keyframes=8),
+            mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
+        )
+    else:
+        seq = make_sequence(n_frames=args.frames, height=120, width=160,
+                            max_amp=0.06)
+        cfg = Config(
+            camera=seq.camera,
+            orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+            sft=SfTConfig(lm_iterations=20),
+            tracking=TrackingConfig(keyframe_period=5),
+            capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+        )
+    before = evaluate(cfg, seq.frames, seq.depths)
+    params, best, history = twiddle(
+        cfg, seq.frames, seq.depths, n_iter=args.iters
     )
-    params, best, _ = twiddle(cfg, seq.frames, seq.depths, n_iter=args.iters)
-    print(json.dumps({"best_objective": best, "params": params}))
+    print(json.dumps({
+        "objective_before": before,
+        "best_objective": best,
+        "params": params,
+        "n_evaluations": len(history),
+    }))
 
 
 if __name__ == "__main__":

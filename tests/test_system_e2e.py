@@ -41,6 +41,7 @@ def tracked(seq):
     for t in range(len(seq.frames)):
         pose = sys_.track_monocular(seq.frames[t], timestamp=t / 10.0)
         results.append((pose, sys_.get_tracking_state()))
+    sys_.flush()  # finalize in-flight pipelined frames (incl. keyframes)
     return sys_, results
 
 
@@ -134,3 +135,39 @@ def test_pipelined_matches_synchronous(seq):
     for (tsa, ta), (tsb, tb) in zip(a.trajectory, b.trajectory):
         assert tsa == tsb
         np.testing.assert_allclose(ta, tb, atol=1e-6)
+
+
+def test_pipelined_keyframe_rollback_matches_synchronous(seq):
+    """A frame that fails validation AT the keyframe cadence slot: the
+    optimistic keyframe insertion (store donation + async mapping chain)
+    must be rolled back so the final state equals the synchronous run's."""
+    cam = seq.camera
+
+    def run(pipelined: bool):
+        cfg = Config(
+            camera=cam,
+            orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+            sft=SfTConfig(lm_iterations=15),
+            tracking=TrackingConfig(keyframe_period=4, pipelined=pipelined),
+            capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+            mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
+        )
+        sys_ = System(cfg)
+        for t in range(9):
+            img = seq.frames[t]
+            if t == 8:  # the second keyframe slot: blank -> must fail
+                img = np.full_like(img, 128.0)
+            sys_.track_monocular(img, timestamp=float(t))
+        sys_.flush()
+        return sys_
+
+    a = run(False)
+    b = run(True)
+    assert len(a._metrics) == len(b._metrics)
+    for ma, mb in zip(a._metrics, b._metrics):
+        assert ma == mb, (ma, mb)
+    # the rolled-back keyframe must not exist in either store
+    assert int(np.asarray(a.kfs.valid).sum()) == int(np.asarray(b.kfs.valid).sum())
+    assert a.kf_counter == b.kf_counter
+    assert a.template_ref_kf == b.template_ref_kf
+    assert len(a.template_history) == len(b.template_history)
