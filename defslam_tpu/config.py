@@ -131,6 +131,19 @@ class MappingConfig:
     warp_ctrl_u: int = 13
     warp_ctrl_v: int = 15
     schwarp_lm_iterations: int = 3
+    # map-consistency surface polish at re-templating (NO reference
+    # equivalent — the reference accepts the SfN surface as-is after the
+    # Sim3): after registration, the surface control depths are re-fit to
+    # ALSO pass through the existing inlier map points (targets weighted by
+    # this factor against grid anchors of the SfN shape).  Intended to
+    # remove the spline-shaped registration residual that forces a camera
+    # jump at the RegTemp=0 re-anchor; measured: helps a small off-center
+    # fixture (ATE 0.079 -> 0.063) but trades depth accuracy at full bench
+    # scale (0.027 -> 0.048 median depth err, ATE unchanged) because the
+    # insertion-time targets carry deformation staleness.  Default OFF
+    # (reference behavior); enable per-sequence when swap continuity
+    # matters more than instantaneous depth.
+    consistency_polish: float = 0.0
     # per-point (k1,k2) normal solves are warm-started from the previous
     # keyframe step; 12 LM iterations measured indistinguishable from 30
     # on the synthetic accuracy gates while the vmapped solve is the

@@ -36,6 +36,7 @@ from defslam_tpu.mapping import normals as nrm
 from defslam_tpu.mapping import registration, sfn, warp
 from defslam_tpu.ops import bspline
 from defslam_tpu.template import mesh as meshmod
+from defslam_tpu.utils import masked_median
 
 # padded capacity of matched points per warp pair
 PAIR_CAP = 512
@@ -397,6 +398,60 @@ def registration_pairs(
     )
     map_cam = se3.transform(kf_pose, kp_xyz)
     return surf_xyz, jnp.where(mask[:, None], map_cam, 0.0), mask
+
+
+def polish_surface(
+    ctrl: jnp.ndarray,  # (nu, nv) SfN control depths
+    reg: registration.RegistrationResult,
+    retina: jnp.ndarray,  # (K, 2) keyframe keypoints (retina)
+    map_cam: jnp.ndarray,  # (K, 3) registered map positions, camera frame
+    pair_mask: jnp.ndarray,  # (K,) registration pairs
+    dom: jnp.ndarray,
+    bend: jnp.ndarray,
+    cfg: Config,
+) -> jnp.ndarray:
+    """Map-consistency polish (see MappingConfig.consistency_polish): re-fit
+    the surface control depths so the registered surface passes through the
+    existing inlier map points while grid anchors keep the SfN shape where
+    no pairs exist.  One ridge-regularized linear solve; the Sim(3) removes
+    the gauge, this removes the spline-shaped residual the Sim(3) cannot."""
+    lam = cfg.mapping.consistency_polish
+    if lam <= 0.0:
+        return ctrl
+    nu, nv = ctrl.shape
+    u, v = retina[:, 0], retina[:, 1]
+    # target depths along each keypoint ray, pulled into the surface frame:
+    # x_surf = (1/s) R^T (m - t)  =>  d = <x_surf, ray> / |ray|^2
+    x_t = (map_cam - reg.t) @ reg.R / jnp.maximum(reg.s, 1e-9)
+    ray2 = u * u + v * v + 1.0
+    d_tgt = (x_t[:, 0] * u + x_t[:, 1] * v + x_t[:, 2]) / ray2
+    # inlier gate: current surface->map residual within 2.5x median
+    d_cur = bspline.evaluate(ctrl, u, v, dom)
+    surf = jnp.stack([u * d_cur, v * d_cur, d_cur], axis=-1)
+    r = jnp.linalg.norm(reg.s * surf @ reg.R.T + reg.t - map_cam, axis=-1)
+    med = masked_median(r, pair_mask)
+    w_t = (
+        pair_mask & (r <= 2.5 * med + 1e-9) & (d_tgt > 1e-3)
+    ).astype(ctrl.dtype) * lam
+    # SfN-shape anchors on a static grid (weight 1)
+    g = 16
+    gu = jnp.linspace(dom[0], dom[1], g)
+    gv = jnp.linspace(dom[2], dom[3], g)
+    GU, GV = jnp.meshgrid(gu, gv, indexing="ij")
+    gu, gv = GU.reshape(-1), GV.reshape(-1)
+    d_grid = bspline.evaluate(ctrl, gu, gv, dom)
+
+    uu = jnp.concatenate([u, gu])
+    vv = jnp.concatenate([v, gv])
+    vals = jnp.concatenate([d_tgt, d_grid])
+    wts = jnp.concatenate([w_t, jnp.ones(g * g, ctrl.dtype)])
+    A = bspline.coloc_2d(uu, vv, dom, nu, nv)  # (N, nu*nv)
+    hp = jax.lax.Precision.HIGHEST
+    AtA = jnp.einsum("n,ni,nj->ij", wts, A, A, precision=hp) + 1e-3 * bend
+    k = nu * nv
+    AtA = AtA + (1e-6 * jnp.trace(AtA) / k) * jnp.eye(k, dtype=ctrl.dtype)
+    Aty = jnp.einsum("n,ni,n->i", wts, A, vals, precision=hp)
+    return jnp.linalg.solve(AtA, Aty).reshape(nu, nv)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -923,8 +978,11 @@ def keyframe_step(
 
         def _apply(args2):
             kfs, points = args2
+            ctrl_p = polish_surface(
+                res_sfn.ctrl, reg, retina_t, map_xyz, mask, dom, bend_sfn, c
+            )
             regen = regen_template(
-                res_sfn.ctrl, reg, pose_t, retina_t, dom, c
+                ctrl_p, reg, pose_t, retina_t, dom, c
             )
             points2, pid_row_new = rebuild_points(
                 points, regen, pose_t, K, pid_t, kfs.kp_valid[kf_t],
@@ -933,7 +991,7 @@ def keyframe_step(
             )
             kfs2 = kfs._replace(
                 point_id=kfs.point_id.at[kf_t].set(pid_row_new),
-                surf_ctrl=kfs.surf_ctrl.at[kf_t].set(res_sfn.ctrl),
+                surf_ctrl=kfs.surf_ctrl.at[kf_t].set(ctrl_p),
                 surf_valid=kfs.surf_valid.at[kf_t].set(True),
             )
             tmpl2 = regen.template

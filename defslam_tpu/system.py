@@ -892,8 +892,12 @@ class System:
         if not (sfn_ok and accepted):
             return False
 
+        ctrl_p = mapper.polish_surface(
+            res_sfn.ctrl, reg, retina, map_xyz, mask, self.dom,
+            self.bend_sfn, c,
+        )
         regen = mapper.regen_template(
-            res_sfn.ctrl, reg, pose, retina, self.dom, c
+            ctrl_p, reg, pose, retina, self.dom, c
         )
         self.template = regen.template
         self.template_ref_kf = slot
@@ -909,7 +913,7 @@ class System:
         self.points = new_points
         self.kfs = self.kfs._replace(
             point_id=self.kfs.point_id.at[slot].set(pid_row_new),
-            surf_ctrl=self.kfs.surf_ctrl.at[slot].set(res_sfn.ctrl),
+            surf_ctrl=self.kfs.surf_ctrl.at[slot].set(ctrl_p),
             surf_valid=self.kfs.surf_valid.at[slot].set(True),
         )
         self.points, _n_culled = mapper.cull_points(

@@ -431,3 +431,52 @@ def test_shared_vs_bbox_retina_domain_offcenter():
         f"shared domain costs {ang_cam - ang_bb:.2f} deg normal error "
         f"({ang_cam:.2f} vs {ang_bb:.2f})"
     )
+
+
+def test_polish_surface_pulls_depths_to_map():
+    """mapping.consistency_polish: with a positive weight the polished
+    surface passes (closer) through the map targets at pair locations while
+    grid anchors keep the original shape elsewhere; weight 0 is identity."""
+    import dataclasses
+
+    from defslam_tpu.config import Config, MappingConfig
+    from defslam_tpu.mapping import mapper, registration as regmod
+
+    nu, nv = 13, 15
+    dom = jnp.asarray([-0.4, 0.4, -0.3, 0.3], jnp.float32)
+    ctrl = jnp.ones((nu, nv), jnp.float32)  # flat surface at depth 1
+    rng = np.random.default_rng(2)
+    n = 120
+    u = jnp.asarray(rng.uniform(-0.1, 0.35, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.25, 0.0, n), jnp.float32)
+    retina = jnp.stack([u, v], axis=1)
+    # identity Sim3; targets 5% deeper than the surface in the pair region
+    reg = regmod.RegistrationResult(
+        s=jnp.asarray(1.0), R=jnp.eye(3), t=jnp.zeros(3),
+        residual=jnp.asarray(0.0), accepted=jnp.asarray(True),
+        n_pairs=jnp.asarray(n),
+    )
+    d_tgt = 1.05
+    map_cam = jnp.stack([u * d_tgt, v * d_tgt, jnp.full(n, d_tgt)], axis=1)
+    mask = jnp.ones(n, bool)
+    bend = mapper.bending_for(np.asarray(dom), nu, nv)
+
+    cfg0 = Config(mapping=MappingConfig(consistency_polish=0.0))
+    assert mapper.polish_surface(
+        ctrl, reg, retina, map_cam, mask, dom, bend, cfg0
+    ) is ctrl  # weight 0: untouched (reference behavior)
+
+    cfg4 = Config(mapping=MappingConfig(consistency_polish=4.0))
+    ctrl_p = mapper.polish_surface(
+        ctrl, reg, retina, map_cam, mask, dom, bend, cfg4
+    )
+    from defslam_tpu.ops import bspline as bsp
+
+    d_in = np.asarray(bsp.evaluate(ctrl_p, u, v, dom))
+    # inside the pair region: pulled most of the way to 1.05
+    assert np.median(np.abs(d_in - d_tgt)) < 0.02
+    # far corner (no pairs): anchored near the original depth 1.0
+    fu = jnp.asarray([-0.35], jnp.float32)
+    fv = jnp.asarray([0.25], jnp.float32)
+    d_far = float(bsp.evaluate(ctrl_p, fu, fv, dom)[0])
+    assert abs(d_far - 1.0) < 0.02
