@@ -12,16 +12,21 @@ not enough).
 
 import os
 
+# DEFSLAM_TEST_PLATFORM=tpu opts selected runs (e.g. the full-scale
+# long-haul stress e2e, DEFSLAM_STRESS_FULL=1) onto the real chip; the
+# default stays the virtual 8-device CPU mesh.
+_PLATFORM = os.environ.get("DEFSLAM_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if _PLATFORM == "cpu" and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the fused keyframe kernel is a large graph
 # compiled once per test config — cache hits make suite reruns fast.
 # min_compile_time 0 caches EVERY compile: the XLA CPU compiler has

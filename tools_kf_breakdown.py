@@ -47,7 +47,7 @@ res = bench("sft_track", lambda: tracker.sft_track(
     sys_.points, matches, feats, sys_.template, sys_.pose, sys_.K, c))
 bench("reposition", lambda: tracker.reposition_points(sys_.points, res.nodes, c))
 bench("track_frame fused", lambda: tracker.track_frame(
-    img, sys_.points, sys_.pose, sys_.template, sys_.K, c))
+    img, sys_.points, sys_.pose, sys_.prev_pose, sys_.template, sys_.K, c))
 
 # ---------------- keyframe mapping pieces
 slot = sys_._free_kf_slot()
