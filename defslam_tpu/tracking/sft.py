@@ -151,10 +151,14 @@ class _Pre(NamedTuple):
     # one-hot scatter maps: TPU scatter-adds (segment_sum) serialize, so
     # the H assembly contracts these with einsum on the MXU instead —
     # ~2x faster per LM iteration at the shipped sizes (measured r4)
-    oh_fid: jnp.ndarray  # (N, F) observation -> facet (0 when masked)
-    oh_corner: jnp.ndarray  # (F, 3, M) facet corner -> node
     oh_ring: jnp.ndarray  # (M, 1+R, M) ring slot -> node
     oh_ev: jnp.ndarray  # (E, 2, M) edge endpoint -> node
+    # dense barycentric blend: p = bmat @ nodes reproduces the per-obs
+    # facet interpolation exactly (bmat[n, m] = bary weight of node m in
+    # obs n, nonzero only at the 3 facet corners).  Turns EVERY gather and
+    # scatter of the observation half into plain (N, M) matmuls — the
+    # per-LM-iteration graph collapses to ~10 MXU-shaped ops
+    bmat: jnp.ndarray  # (N, M)
 
 
 def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
@@ -223,10 +227,11 @@ def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
         c_temp=c_temp,
         col_free=col_free,
         sw=jnp.maximum(jnp.sum(data.lap_w, axis=1), 1e-12),
-        oh_fid=jax.nn.one_hot(fid, n_faces + 1)[:, :n_faces],
-        oh_corner=jax.nn.one_hot(faces, m),
         oh_ring=jax.nn.one_hot(ringx, m),
         oh_ev=jax.nn.one_hot(edges, m),
+        bmat=jnp.einsum(
+            "nk,nkm->nm", data.obs_bary, jax.nn.one_hot(fcorners, m)
+        ),
     )
 
 
@@ -235,8 +240,8 @@ def _prepare(data: SfTData, topo: meshmod.MeshTopology, cfg: Config,
 
 def obs_cost(T, nodes, data: SfTData, pre: _Pre, huber_delta: float):
     """Robust observation cost at (T, nodes) — the accept-test half of an LM
-    iteration (no Jacobians)."""
-    p = jnp.einsum("nk,nkd->nd", data.obs_bary, nodes[pre.fcorners])
+    iteration (no Jacobians).  Gather-free via pre.bmat."""
+    p = jnp.einsum("nm,md->nd", pre.bmat, nodes, precision=_HP)
     pc = se3.transform(T, p)
     z = pc[:, 2]
     front = z > 1e-6
@@ -479,11 +484,16 @@ def normal_equations(T, nodes, data: SfTData, topo: meshmod.MeshTopology,
 def _obs_normal_eq_impl(T, nodes, data: SfTData, pre: _Pre,
                         huber_delta: float, faces: jnp.ndarray,
                         n_faces: int):
-    """obs_normal_eq with the static face table passed explicitly."""
+    """obs_normal_eq with the static face table passed explicitly.
+
+    Gather/scatter-free: the barycentric interpolation and all node-block
+    reductions ride pre.bmat (N, M) matmuls — per iteration the MXU does
+    ~300 MFLOP of dense contractions instead of thousands of small
+    gather/scatter ops (the round-4 latency profile)."""
     m = nodes.shape[0]
     n = data.obs_uv.shape[0]
     R3 = T[:3, :3]
-    p = jnp.einsum("nk,nkd->nd", data.obs_bary, nodes[pre.fcorners])
+    p = jnp.einsum("nm,md->nd", pre.bmat, nodes, precision=_HP)
     pc = se3.transform(T, p)
     z = pc[:, 2]
     front = z > 1e-6
@@ -519,39 +529,21 @@ def _obs_normal_eq_impl(T, nodes, data: SfTData, pre: _Pre,
 
     H_cc = jnp.einsum("nai,naj->ij", Jxi, Jxi, precision=_HP)
     g_c = jnp.einsum("nai,na->i", Jxi, r2w, precision=_HP)
-    G = jnp.einsum("nai,naj->nij", B, B)
-    CB = jnp.einsum("nai,naj->nij", Jxi, B)
-    gB = jnp.einsum("nai,na->ni", B, r2w)
-    bary = data.obs_bary
-    bb = bary[:, :, None] * bary[:, None, :]
+    G = jnp.einsum("nai,naj->nij", B, B)  # (N, 3, 3)
+    CB = jnp.einsum("nai,naj->nij", Jxi, B)  # (N, 6, 3)
+    gB = jnp.einsum("nai,na->ni", B, r2w)  # (N, 3)
 
-    # scatter-free assembly: obs -> facet and facet -> node reductions as
-    # one-hot contractions on the MXU (TPU scatter-adds serialize; these
-    # matmuls are ~60 MFLOP total — microseconds of MXU time)
-    Of = pre.oh_fid  # (N, F)
-    Hf = jnp.einsum(
-        "nf,nx->fx", Of,
-        (bb[:, :, :, None, None] * G[:, None, None, :, :]).reshape(n, -1),
-        precision=_HP,
-    ).reshape(n_faces, 3, 3, 3, 3)
-    Cf = jnp.einsum(
-        "nf,nx->fx", Of,
-        (bary[:, :, None, None] * CB[:, None, :, :]).reshape(n, -1),
-        precision=_HP,
-    ).reshape(n_faces, 3, 6, 3)
-    gf = jnp.einsum(
-        "nf,nx->fx", Of,
-        (bary[:, :, None] * gB[:, None, :]).reshape(n, -1),
-        precision=_HP,
-    ).reshape(n_faces, 3, 3)
-
-    Oc = pre.oh_corner  # (F, 3, M)
-    t1 = jnp.einsum("fai,fabkl->fibkl", Oc, Hf, precision=_HP)
-    H_nn = jnp.einsum("fbj,fibkl->ijkl", Oc, t1, precision=_HP)
+    # node-block reductions as two dense matmuls over the obs axis:
+    # H_nn[(m,j),(p,k)] = sum_n bmat[n,m] bmat[n,p] G[n,j,k]
+    Bm = pre.bmat  # (N, M)
+    BG = Bm[:, :, None] * G.reshape(n, 1, 9)  # (N, M, 9)
+    H_nn = jnp.einsum("nm,npc->mpc", Bm, BG, precision=_HP).reshape(
+        m, m, 3, 3
+    )
     H_cn = jnp.einsum(
-        "fai,fax->ix", Oc, Cf.reshape(n_faces, 3, 18), precision=_HP
+        "nm,nx->mx", Bm, CB.reshape(n, 18), precision=_HP
     ).reshape(m, 6, 3)
-    g_n = jnp.einsum("fai,fax->ix", Oc, gf, precision=_HP)
+    g_n = jnp.einsum("nm,nj->mj", Bm, gB, precision=_HP)
     return H_cc, H_cn, H_nn, g_c, g_n, cost
 
 
