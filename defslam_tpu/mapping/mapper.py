@@ -214,8 +214,18 @@ def accumulate_obs_device(
     pidf = flat(pid)
     okf = flat(mask) & (pidf >= 0) & (pidf < n_points)
     key = jnp.where(okf, pidf, n_points)
-    order = jnp.argsort(key, stable=True)
-    ks = key[order]
+    # stable argsort via PACK-SORT: key in the high bits, position in the
+    # low bits, ONE int32 sort — the variadic (key, iota) sort a stable
+    # argsort lowers to moves twice the data through the TPU's bitonic
+    # network (measured ~6 ms per keyframe step at the shipped sizes)
+    L = key.shape[0]
+    bits = max(L - 1, 1).bit_length()
+    assert (n_points + 1) << bits < 2**31, "pack-sort key overflow"
+    packed = jnp.sort(
+        (key << bits) | jnp.arange(L, dtype=jnp.int32)
+    )
+    order = packed & ((1 << bits) - 1)
+    ks = packed >> bits
     first = jnp.searchsorted(ks, ks, side="left")
     rank = jnp.arange(ks.shape[0]) - first
     store_ok = (ks < n_points) & (rank < obs_cap)
