@@ -163,6 +163,13 @@ class MappingConfig:
     # shape-from-normals depth-surface control grid (1-valued spline)
     sfn_ctrl_u: int = 13
     sfn_ctrl_v: int = 15
+    # flat-extension prior for the SfN surface OUTSIDE the normal support
+    # (sfn.solve): a linear tilt lies in the bending penalty's null space,
+    # so newly explored regions otherwise extrapolate an arbitrary tilt
+    # that compounds over re-templating (the round-4 diagnosed ATE
+    # limiter).  Weak zero-gradient rows bias the unsupported extension
+    # toward constant depth.  0 = reference behavior (free extrapolation).
+    sfn_flat_extension: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -378,6 +378,7 @@ def integrate_surface(
         retina, normals, mask, dom,
         cfg.mapping.sfn_ctrl_u, cfg.mapping.sfn_ctrl_v,
         bending, cfg.mapping.bending, mean_depth=1.0,
+        flat_extension=cfg.mapping.sfn_flat_extension,
     )
 
 

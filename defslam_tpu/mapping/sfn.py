@@ -44,6 +44,7 @@ def solve(
     bending: jnp.ndarray,  # (K, K) precomputed bending matrix for dom
     bending_weight: float,
     mean_depth: float | jnp.ndarray = 1.0,
+    flat_extension: float = 0.0,
 ) -> SfNResult:
     k = nu * nv
     n = normals / jnp.maximum(
@@ -65,6 +66,38 @@ def solve(
         + jnp.einsum("ni,n,nj->ij", row_v, w, row_v, precision=HIGHEST)
         + (bending_weight**2) * (bending @ bending)
     )
+    if flat_extension > 0.0:
+        # flat-extension prior OUTSIDE the normal support: a linear depth
+        # tilt lies in the bending penalty's NULL SPACE, so without data
+        # the spline extrapolates an arbitrary (and, over repeated
+        # re-templating, compounding) tilt into newly explored regions —
+        # the round-4 diagnosed accuracy limiter.  Weak zero-gradient rows
+        # at unsupported grid points bias the extension toward constant
+        # depth instead (the standard inpainting boundary choice; the
+        # reference's ShapeFromNormals has no equivalent and shares the
+        # free-tilt behavior).  Support is a soft RBF coverage of valid
+        # normal keypoints, scale = one spline cell.
+        g = 16
+        gu = jnp.linspace(dom[0], dom[1], g)
+        gv = jnp.linspace(dom[2], dom[3], g)
+        GU, GV = jnp.meshgrid(gu, gv, indexing="ij")
+        gq = jnp.stack([GU.reshape(-1), GV.reshape(-1)], axis=-1)  # (G, 2)
+        cell2 = (
+            ((dom[1] - dom[0]) / (nu - 3)) ** 2
+            + ((dom[3] - dom[2]) / (nv - 3)) ** 2
+        )
+        d2 = jnp.sum((gq[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+        support = jnp.minimum(
+            jnp.sum(jnp.exp(-d2 / cell2) * w[None, :], axis=1), 1.0
+        )
+        wf = flat_extension * (1.0 - support)  # (G,)
+        Gu = bspline.coloc_2d(gq[:, 0], gq[:, 1], dom, nu, nv, 1, 0)
+        Gv = bspline.coloc_2d(gq[:, 0], gq[:, 1], dom, nu, nv, 0, 1)
+        AtA = (
+            AtA
+            + jnp.einsum("gi,g,gj->ij", Gu, wf * wf, Gu, precision=HIGHEST)
+            + jnp.einsum("gi,g,gj->ij", Gv, wf * wf, Gv, precision=HIGHEST)
+        )
     ones = jnp.ones((k,), C.dtype)
     AtA = AtA + jnp.outer(ones, ones)
     rhs = ones * (k * mean_depth)
