@@ -25,21 +25,20 @@ Energy terms and weights match the reference:
   neighbors are free (setMeshNodes fixes all, OptLap un-fixes,
   DefOptimizer.cc:388-406 + 926-953); everything else stays put.
 
-Solver re-design (second iteration): the normal equations H dx = -g are
-assembled DIRECTLY from analytic per-term blocks — no dense Jacobian is ever
-materialized.  Each observation contributes a (2,6) camera block and one
-(2,3) block per facet corner; their products are reduced per *facet* with
-one ``segment_sum`` (the facet id is the natural small segment space) and
-the per-facet blocks land in the (M,M,3,3) node Hessian through STATIC
-face-topology indices.  Curvature/edge/temporal terms scatter through the
-equally static ring/edge index tables.  The result is a dense
-(6+3M, 6+3M) system (tiny at M=100) solved by Cholesky per LM iteration.
-Compared to the round-1 design (stack a dense (R, 6+3M) Jacobian, one big
-J^T W J matmul) this cuts the per-iteration device time ~3x: the Jacobian
-row space was 97% structural zeros and HBM traffic, while the block
-assembly touches only the nonzeros.  Jacobian formulas mirror the
-reference's linearizeOplus implementations (sft_types.h:137-206, 296-315,
-364-377, 408); the dense-J path survives as :func:`assemble` purely as the
+Solver re-design (third iteration): the normal equations H dx = -g are
+assembled from analytic per-term blocks with ZERO gathers or scatters.
+Barycentric interpolation and every node-block reduction ride a
+precomputed dense blend matrix bmat (N, M) — plain MXU matmuls totalling
+~300 MFLOP per iteration — and the curvature/edge terms contract one-hot
+ring/edge maps the same way; the dense (6+3M, 6+3M) system (tiny at
+M=100) is solved by Cholesky per LM iteration.  The progression, each
+step measured on the TPU: round-1 dense (R, 6+3M) Jacobian (97%
+structural zeros, HBM-bound) -> round-3 per-facet segment_sum blocks
+(~3x faster, but TPU scatter-adds serialize) -> round-4 dense-blend
+matmuls (another ~2x per iteration; the per-frame solve is latency-bound,
+so op count is the currency).  Jacobian formulas mirror the reference's
+linearizeOplus implementations (sft_types.h:137-206, 296-315, 364-377,
+408); the dense-J path survives as :func:`assemble` purely as the
 autodiff cross-check seam for tests.
 
 Deliberate deviation from the reference: the final outlier gate here uses
@@ -555,10 +554,13 @@ def obs_normal_eq(T, nodes, data, pre, huber_delta, faces, n_faces):
     return _obs_normal_eq_impl(T, nodes, data, pre, huber_delta, faces, n_faces)
 
 
-def _chi2(T, nodes, data: SfTData, topo) -> jnp.ndarray:
+def _chi2(T, nodes, data: SfTData, topo, bmat=None) -> jnp.ndarray:
     from defslam_tpu.geometry import camera as cam
 
-    pw = meshmod.facet_positions(nodes, topo, data.obs_face, data.obs_bary)
+    if bmat is not None:  # gather-free via the dense blend matrix
+        pw = jnp.einsum("nm,md->nd", bmat, nodes, precision=_HP)
+    else:
+        pw = meshmod.facet_positions(nodes, topo, data.obs_face, data.obs_bary)
     uv = cam.project(data.K, se3.transform(T, pw))
     e2 = jnp.sum((uv - data.obs_uv) ** 2, axis=-1)
     return e2 * data.obs_invsigma2
@@ -641,12 +643,17 @@ def solve(
 
     # stage 1: full robust solve
     T1, nodes1, _ = run(data, cfg.sft.lm_iterations)
-    chi2 = _chi2(T1, nodes1, data, topo)
+    # bmat for the chi2 passes (mask-independent; shared by both stages)
+    fc = faces[jnp.clip(data.obs_face, 0, n_faces - 1)]
+    bmat = jnp.einsum(
+        "nk,nkm->nm", data.obs_bary, jax.nn.one_hot(fc, m)
+    )
+    chi2 = _chi2(T1, nodes1, data, topo, bmat)
     inlier = data.obs_mask & (chi2 <= cfg.sft.chi2_threshold)
     # stage 2: short polish on the gated inliers (robustness addition over
     # the reference's single optimize(50); the strict gate makes it cheap)
     d2 = data._replace(T0=T1, nodes0=nodes1, obs_mask=inlier)
     T2, nodes2, cost = run(d2, max(cfg.sft.lm_iterations // 5, 5))
-    chi2f = _chi2(T2, nodes2, data, topo)
+    chi2f = _chi2(T2, nodes2, data, topo, bmat)
     inlier_f = data.obs_mask & (chi2f <= cfg.sft.chi2_threshold)
     return SfTResult(T=T2, nodes=nodes2, inlier=inlier_f, chi2=chi2f, cost=cost)
