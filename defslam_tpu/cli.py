@@ -167,12 +167,25 @@ def main(argv=None):
     return 0
 
 
-def _progress(sys_, args=None):
-    sys_.flush()  # per-frame reporting wants the validated counts
-    m = sys_._metrics[-1]
+def _progress(sys_, args=None, every: int = 30):
+    # Do NOT drain the pipeline every frame: a per-frame flush() serializes
+    # the app at keyframes and forfeits the depth-2 overlap (the bench's
+    # throughput).  Print the optimistic metrics row in between (match
+    # counts are -1 sentinels until the deferred readback validates the
+    # frame) and flush only periodically — or always in the interactive
+    # --tune/--step workflows, which want exact validated state.
+    interactive = args is not None and (
+        getattr(args, "step", False) or getattr(args, "tune", None)
+    )
+    m = sys_._metrics[-1] if sys_._metrics else None
+    if interactive or m is None or m["frame"] % every == 0:
+        sys_.flush()
+        m = sys_._metrics[-1]
+    mt = f"{m['matches']:4d}" if m["matches"] >= 0 else "   ?"
+    il = f"{m['inliers']:4d}" if m["inliers"] >= 0 else "   ?"
     print(
         f"\rframe {m['frame']:5d} [{m['state']:>15s}] "
-        f"matches {m['matches']:4d} inliers {m['inliers']:4d}"
+        f"matches {mt} inliers {il}"
         + (" KF" if m["keyframe"] else "   ")
         + (" TEMPLATE" if m["template"] else ""),
         end="",
@@ -208,7 +221,19 @@ class _TuneWatcher:
         except Exception as e:  # keep tracking; report the bad file
             print(f"\n[tune] parse error in {self.path}: {e}")
             return
-        changed = {k: v for k, v in raw.items() if self.last.get(k) != v}
+        # np.array_equal-safe diff: load_raw_yaml returns numpy arrays for
+        # !!opencv-matrix nodes, whose `!=` is elementwise and would raise
+        # "truth value of an array is ambiguous" in a bare comparison
+        import numpy as _np
+
+        def _differs(a, b):
+            if isinstance(a, _np.ndarray) or isinstance(b, _np.ndarray):
+                return not _np.array_equal(a, b)
+            return a != b
+
+        changed = {
+            k: v for k, v in raw.items() if _differs(self.last.get(k), v)
+        }
         self.last = raw
         if not changed:
             return

@@ -324,6 +324,33 @@ def close_loop(
     return True, kfs, points, int(cand.kf)
 
 
+def _resolve_chains(src, dst):
+    """Forward every merge destination through the src->dst map until it is
+    not itself a retired source (the reference forwards chains through
+    MapPoint::Replace / mpReplaced, MapPoint.cc): without this, a pair whose
+    dst is another pair's src would transfer n_obs into a point that is then
+    invalidated and leave kp->point tables bound to a dead pid.  Pairs whose
+    chain cycles back into the source set are dropped (a<->b mutual merges
+    collapse to no-ops, which is safe).  Returns (src, dst) int32 arrays."""
+    import numpy as np
+
+    fwd = {int(s): int(d) for s, d in zip(src, dst)}
+    out_s, out_d = [], []
+    for s, d in fwd.items():
+        seen = {s}
+        while d in fwd and d not in seen:
+            seen.add(d)
+            d = fwd[d]
+        if d in seen:
+            continue  # cycle
+        out_s.append(s)
+        out_d.append(d)
+    return (
+        np.asarray(out_s, np.int32),
+        np.asarray(out_d, np.int32),
+    )
+
+
 def replace_loop_matches(
     kfs: KeyframeStore,
     points: PointStore,
@@ -353,14 +380,19 @@ def replace_loop_matches(
         & pvalid[np.clip(pid1, 0, points.capacity - 1)]
         & pvalid[np.clip(pid2, 0, points.capacity - 1)]
     )
-    src = np.unique(pid1[ok])  # current-side duplicates to retire
-    if len(src) == 0:
+    if not ok.any():
         return kfs, points, 0
-    # build src->dst from the first match per src point
+    # build src->dst from the first match per src point, then resolve
+    # replacement chains so no dst is itself retired in this pass
     dst_of = {}
     for a, b in zip(pid1[ok], pid2[ok]):
         dst_of.setdefault(int(a), int(b))
-    dst = np.asarray([dst_of[int(s)] for s in src], np.int32)
+    src, dst = _resolve_chains(
+        np.asarray(list(dst_of.keys()), np.int32),
+        np.asarray(list(dst_of.values()), np.int32),
+    )
+    if len(src) == 0:
+        return kfs, points, 0
     pid_all = np.asarray(
         tri.apply_replacements(
             kfs.point_id, jnp.asarray(src.astype(np.int32)),
@@ -428,22 +460,27 @@ def fuse_points_into(
                 dst_list.append(p)
     pid_all = np.asarray(kfs.point_id).copy()
     pid_all[s_tgt] = pid_t
+    n_merged = 0
     if src_list:
-        src = jnp.asarray(np.asarray(src_list, np.int32))
-        dst = jnp.asarray(np.asarray(dst_list, np.int32))
+        src, dst = _resolve_chains(
+            np.asarray(src_list, np.int32), np.asarray(dst_list, np.int32)
+        )
+        n_merged = len(src)
+    if n_merged:
         pid_all = np.asarray(
             tri.apply_replacements(
-                jnp.asarray(pid_all), src, dst, points.capacity
+                jnp.asarray(pid_all), jnp.asarray(src), jnp.asarray(dst),
+                points.capacity,
             )
         )
-        for s, d_ in zip(src_list, dst_list):
+        for s, d_ in zip(src, dst):
             nobs[d_] += nobs[s]
             pvalid[s] = False
     kfs = kfs._replace(point_id=jnp.asarray(pid_all))
     points = points._replace(
         n_obs=jnp.asarray(nobs), valid=jnp.asarray(pvalid)
     )
-    return kfs, points, len(src_list)
+    return kfs, points, n_merged
 
 
 def global_ba(
@@ -462,13 +499,16 @@ def global_ba(
     import numpy as np
 
     lv = jnp.clip(kfs.level, 0, sig2.shape[0] - 1)
+    # observations bound to retired/invalid points must not contribute
+    # residuals (the reference erases them via MapPoint::Replace)
+    pt_ok = points.valid[jnp.clip(kfs.point_id, 0, points.capacity - 1)]
     problem = ba.BAProblem(
         poses=kfs.pose,
         xyz=points.xyz,
         pid=kfs.point_id,
         uv=kfs.xy,
         inv_sigma2=1.0 / sig2[lv],
-        obs_mask=kfs.kp_valid & kfs.valid[:, None],
+        obs_mask=kfs.kp_valid & kfs.valid[:, None] & pt_ok,
         cam_free=kfs.valid & (jnp.arange(kfs.pose.shape[0]) != 0),
         point_free=points.valid,
     )

@@ -1007,8 +1007,12 @@ class System:
                 for f, n in zip(data["hist_fid"], data["hist_nodes"])
             ]
         if "gt_rows" in data:
+            # rows are (ts, rmse, n, scale); the float64 round-trip must not
+            # turn the integer inlier count into a float (ErrorGTs.txt would
+            # print "12.0" and break the reference column format)
             self._gt_evaluator().rows = [
-                tuple(r) for r in data["gt_rows"]
+                (float(t), float(r), int(n), float(s))
+                for t, r, n, s in data["gt_rows"]
             ]
 
     # ------------------------------------------------------------- metrics
