@@ -64,6 +64,14 @@ def main(argv=None):
                         help="synthetic demo sequence")
     sy.add_argument("--frames", type=int, default=30)
     sy.add_argument("--out", default="./out")
+    sy.add_argument(
+        "--gt", action="store_true",
+        help="per-frame CT-GT depth evaluation (writes ErrorGTs0.txt). "
+             "Evaluation reads validated state, so each frame drains the "
+             "pipeline — the DefSLAMGT app behavior; without it the loop "
+             "runs fully pipelined like the deployment app "
+             "(simple_camera.cc:4-55)",
+    )
 
     args = p.parse_args(argv)
 
@@ -78,7 +86,10 @@ def main(argv=None):
         cfg = Config(camera=seq.camera, output_dir=args.out, save_results=True)
         sys_ = System(cfg)
         for t in range(args.frames):
-            sys_.track_monocular_ct(seq.frames[t], seq.depths[t], float(t))
+            if args.gt:
+                sys_.track_monocular_ct(seq.frames[t], seq.depths[t], float(t))
+            else:
+                sys_.track_monocular(seq.frames[t], float(t))
             _progress(sys_, args)
     else:
         cfg = Config.from_yaml(args.yaml)

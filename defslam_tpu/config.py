@@ -170,6 +170,24 @@ class MappingConfig:
     # limiter).  Weak zero-gradient rows bias the unsupported extension
     # toward constant depth.  0 = reference behavior (free extrapolation).
     sfn_flat_extension: float = 0.3
+    # tilt continuation for that extension prior (sfn.solve): 0 targets
+    # constant depth (round-4 behavior, a bounded but real bias at
+    # template swaps); > 0 targets the RBF-weighted continuation of the
+    # supported region's own normal-implied slope, fading to flat away
+    # from support — the round-5 tilt-regularized extension.
+    sfn_tilt_extension: float = 1.0
+    # per-keyframe retina domains (DefKeyFrame::NormaliseKeypoints,
+    # DefKeyFrame.cc:94-133): derive the warp domain from the new KF's
+    # keypoint bbox and the SfN domain from the reference KF's bbox, each
+    # with the reference's 0.10 relative margin, instead of one shared
+    # camera-wide domain.  Concentrates the full control grid on the
+    # feature cloud (matters for vignetted/off-center imagery); bending
+    # matrices come from the exact jittable affine rescaling
+    # (ops/bspline.bending_matrix_dyn).  The template grid itself stays on
+    # the camera-wide domain.
+    per_kf_domain: bool = False
+    # bbox margin fraction (the reference's 0.10, DefKeyFrame.cc:104-110)
+    kf_domain_margin: float = 0.10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -114,11 +114,12 @@ def evaluate_keyframe_normals_at(
     # (b) SfN surface normals: gamma gradient -> k = -grad/gamma
     if bool(kfs.surf_valid[slot]):
         ctrl = kfs.surf_ctrl[slot]
+        sdom = kfs.surf_dom[slot]  # per-KF spline domain (bbox or camera)
         u = jnp.asarray(retina[sel, 0])
         v = jnp.asarray(retina[sel, 1])
-        g = bspline.evaluate(ctrl, u, v, system.dom)
-        gu = bspline.evaluate(ctrl, u, v, system.dom, du=1)
-        gv = bspline.evaluate(ctrl, u, v, system.dom, dv=1)
+        g = bspline.evaluate(ctrl, u, v, sdom)
+        gu = bspline.evaluate(ctrl, u, v, sdom, du=1)
+        gv = bspline.evaluate(ctrl, u, v, sdom, dv=1)
         k_sfn = np.stack(
             [-np.asarray(gu) / np.asarray(g), -np.asarray(gv) / np.asarray(g)],
             axis=1,

@@ -364,6 +364,34 @@ def solve_normals_compact(
     return nrm.NormalResult(k=k, cov=cov, cost=cost, n_obs=n_obs, valid=valid)
 
 
+def bbox_domain(
+    uv: jnp.ndarray,  # (K, 2) retina keypoints
+    valid: jnp.ndarray,  # (K,) bool
+    fallback: jnp.ndarray,  # (4,) domain when degenerate/empty
+    margin: float = 0.10,
+    min_extent: float = 0.05,
+) -> jnp.ndarray:
+    """Keypoint bounding-box retina domain + relative margin — the
+    reference's per-keyframe warp domain (DefKeyFrame::NormaliseKeypoints,
+    DefKeyFrame.cc:94-133).  Falls back to ``fallback`` (the camera-wide
+    domain) when fewer than 4 keypoints are valid or either extent is
+    degenerate.  Fully jittable (traced output)."""
+    big = jnp.asarray(1e9, uv.dtype)
+    lo_u = jnp.min(jnp.where(valid, uv[:, 0], big))
+    hi_u = jnp.max(jnp.where(valid, uv[:, 0], -big))
+    lo_v = jnp.min(jnp.where(valid, uv[:, 1], big))
+    hi_v = jnp.max(jnp.where(valid, uv[:, 1], -big))
+    du, dv = hi_u - lo_u, hi_v - lo_v
+    dom_bb = jnp.stack([
+        lo_u - margin * du, hi_u + margin * du,
+        lo_v - margin * dv, hi_v + margin * dv,
+    ])
+    ok = (
+        (jnp.sum(valid) >= 4) & (du >= min_extent) & (dv >= min_extent)
+    )
+    return jnp.where(ok, dom_bb, fallback)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def integrate_surface(
     retina: jnp.ndarray,  # (K, 2) ref-KF keypoint retina coords
@@ -372,6 +400,7 @@ def integrate_surface(
     dom: jnp.ndarray,
     bending: jnp.ndarray,
     cfg: Config,
+    ext_dom: jnp.ndarray | None = None,
 ) -> sfn.SfNResult:
     normals = nrm.normal_from_k(k_vals, retina)
     return sfn.solve(
@@ -379,6 +408,8 @@ def integrate_surface(
         cfg.mapping.sfn_ctrl_u, cfg.mapping.sfn_ctrl_v,
         bending, cfg.mapping.bending, mean_depth=1.0,
         flat_extension=cfg.mapping.sfn_flat_extension,
+        tilt_extension=cfg.mapping.sfn_tilt_extension,
+        ext_dom=ext_dom,
     )
 
 
@@ -420,15 +451,22 @@ def polish_surface(
     dom: jnp.ndarray,
     bend: jnp.ndarray,
     cfg: Config,
+    grid_dom: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Map-consistency polish (see MappingConfig.consistency_polish): re-fit
     the surface control depths so the registered surface passes through the
     existing inlier map points while grid anchors keep the SfN shape where
     no pairs exist.  One ridge-regularized linear solve; the Sim(3) removes
-    the gauge, this removes the spline-shaped residual the Sim(3) cannot."""
+    the gauge, this removes the spline-shaped residual the Sim(3) cannot.
+
+    grid_dom: region covered by the shape anchors (defaults to ``dom``,
+    the spline's own domain); with per-KF bbox domains it is the
+    camera-wide domain so the polished spline stays anchored over the full
+    region downstream template regeneration evaluates."""
     lam = cfg.mapping.consistency_polish
     if lam <= 0.0:
         return ctrl
+    gdom = dom if grid_dom is None else grid_dom
     nu, nv = ctrl.shape
     u, v = retina[:, 0], retina[:, 1]
     # target depths along each keypoint ray, pulled into the surface frame:
@@ -446,8 +484,8 @@ def polish_surface(
     ).astype(ctrl.dtype) * lam
     # SfN-shape anchors on a static grid (weight 1)
     g = 16
-    gu = jnp.linspace(dom[0], dom[1], g)
-    gv = jnp.linspace(dom[2], dom[3], g)
+    gu = jnp.linspace(gdom[0], gdom[1], g)
+    gv = jnp.linspace(gdom[2], gdom[3], g)
     GU, GV = jnp.meshgrid(gu, gv, indexing="ij")
     gu, gv = GU.reshape(-1), GV.reshape(-1)
     d_grid = bspline.evaluate(ctrl, gu, gv, dom)
@@ -911,13 +949,27 @@ def keyframe_step(
     batch = WarpBatch(
         uv1=cp.uv1, uv2=cp.uv2, mask=cp.mask, pair_valid=cp.pair_valid
     )
-    dps, ctrls = fit_warps(batch, dom, bend_warp, c)
+    # per-KF warp domain (DefKeyFrame.cc:94-133): all warps in the batch
+    # share the NEW keyframe as source, so ONE bbox domain serves the whole
+    # batched fit; the bending matrix is the exact affine rescale of three
+    # unit-domain constants (no host round trip)
+    if c.mapping.per_kf_domain:
+        dom_w = bbox_domain(
+            kfs.retina[slot], kfs.kp_valid[slot], dom,
+            margin=c.mapping.kf_domain_margin,
+        )
+        bend_w = bspline.bending_matrix_dyn(
+            dom_w, c.mapping.warp_ctrl_u, c.mapping.warp_ctrl_v
+        )
+    else:
+        dom_w, bend_w = dom, bend_warp
+    dps, ctrls = fit_warps(batch, dom_w, bend_w, c)
 
     # ---- warp-guided densification + observation-table merge
     best, _dist = densify_matches(
         ctrls, kfs.retina[slot], kfs.kp_valid[slot], kfs.desc[slot],
         kfs.retina[cp.pair_kf], kfs.kp_valid[cp.pair_kf],
-        kfs.desc[cp.pair_kf], dom, cp.pair_valid, c,
+        kfs.desc[cp.pair_kf], dom_w, cp.pair_valid, c,
     )
     best = jnp.where(cp.pair_valid[:, None], best, -1)
     point_id2, n_obs3 = apply_densify(
@@ -976,9 +1028,23 @@ def keyframe_step(
         retina_t = kfs.retina[kf_t]
         pose_t = kfs.pose[kf_t]
         pid_t = kfs.point_id[kf_t]
+        # per-KF SfN domain: the depth spline lives on the reference KF's
+        # keypoint bbox (full control-grid resolution on the feature
+        # cloud); the extension prior + polish anchors + template grid
+        # stay on the camera-wide `dom` the template must cover
+        if c.mapping.per_kf_domain:
+            dom_s = bbox_domain(
+                retina_t, kfs.kp_valid[kf_t], dom,
+                margin=c.mapping.kf_domain_margin,
+            )
+            bend_s = bspline.bending_matrix_dyn(
+                dom_s, c.mapping.sfn_ctrl_u, c.mapping.sfn_ctrl_v
+            )
+        else:
+            dom_s, bend_s = dom, bend_sfn
         res_sfn = integrate_surface(
             retina_t, kfs.norm_k[kf_t], kfs.norm_valid[kf_t],
-            dom, bend_sfn, c,
+            dom_s, bend_s, c, ext_dom=dom,
         )
         surf_xyz, map_xyz, mask = registration_pairs(
             res_sfn.xyz, pid_t, kfs.kp_xyz[kf_t], kfs.kp_xyz_valid[kf_t],
@@ -990,10 +1056,11 @@ def keyframe_step(
         def _apply(args2):
             kfs, points = args2
             ctrl_p = polish_surface(
-                res_sfn.ctrl, reg, retina_t, map_xyz, mask, dom, bend_sfn, c
+                res_sfn.ctrl, reg, retina_t, map_xyz, mask, dom_s, bend_s,
+                c, grid_dom=dom,
             )
             regen = regen_template(
-                ctrl_p, reg, pose_t, retina_t, dom, c
+                ctrl_p, reg, pose_t, retina_t, dom, c, spline_dom=dom_s
             )
             points2, pid_row_new = rebuild_points(
                 points, regen, pose_t, K, pid_t, kfs.kp_valid[kf_t],
@@ -1004,6 +1071,7 @@ def keyframe_step(
                 point_id=kfs.point_id.at[kf_t].set(pid_row_new),
                 surf_ctrl=kfs.surf_ctrl.at[kf_t].set(ctrl_p),
                 surf_valid=kfs.surf_valid.at[kf_t].set(True),
+                surf_dom=kfs.surf_dom.at[kf_t].set(dom_s),
             )
             tmpl2 = regen.template
             # re-anchor camera + new mesh against the CURRENT frame with
@@ -1051,15 +1119,21 @@ def regen_template(
     retina: jnp.ndarray,  # (K, 2) ref-KF keypoints (retina)
     dom: jnp.ndarray,
     cfg: Config,
+    spline_dom: jnp.ndarray | None = None,
 ) -> TemplateRegen:
     """Reference updateTemplate (DefLocalMapping.cc:138-153 + 3.4):
     sample the registered surface on the node grid, build the Laplacian
-    template in world frame, and embed the keyframe's keypoints."""
+    template in world frame, and embed the keyframe's keypoints.
+
+    spline_dom: the SfN spline's own domain (defaults to ``dom``); the
+    template node grid and the keypoint embedding always use the
+    camera-wide ``dom``."""
+    sdom = dom if spline_dom is None else spline_dom
     topo = meshmod.grid_topology(cfg.mesh.nodes_u, cfg.mesh.nodes_v)
     T_cw = se3.inverse(kf_pose)
 
     def surf_xyz_fn(u, v):
-        d = bspline.evaluate(surf_ctrl, u, v, dom)
+        d = bspline.evaluate(surf_ctrl, u, v, sdom)
         cam_pts = jnp.stack([u * d, v * d, d], axis=-1)
         aligned = reg.s * cam_pts @ reg.R.T + reg.t
         return se3.transform(T_cw, aligned)

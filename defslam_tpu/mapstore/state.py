@@ -20,6 +20,7 @@ import numpy as np
 
 from defslam_tpu.config import Config
 from defslam_tpu.frontend import Features
+from defslam_tpu.geometry import camera
 
 
 class KeyframeStore(NamedTuple):
@@ -47,6 +48,10 @@ class KeyframeStore(NamedTuple):
     # NRSfM per-keyframe surface (depth spline + per-kp normals)
     surf_ctrl: jnp.ndarray  # (F, nu, nv) control depths
     surf_valid: jnp.ndarray  # (F,) bool — surface estimated
+    # retina domain the surface spline is parameterized over — the
+    # camera-wide domain, or the KF's keypoint bbox when
+    # mapping.per_kf_domain is on (DefKeyFrame.cc:94-133)
+    surf_dom: jnp.ndarray  # (F, 4) [umin, umax, vmin, vmax]
     norm_k: jnp.ndarray  # (F, K, 2) per-keypoint (k1, k2)
     norm_valid: jnp.ndarray  # (F, K) bool
 
@@ -106,6 +111,13 @@ def empty_keyframes(cfg: Config) -> KeyframeStore:
         valid=jnp.zeros((f,), bool),
         surf_ctrl=jnp.ones((f, nu, nv)),
         surf_valid=jnp.zeros((f,), bool),
+        surf_dom=jnp.tile(
+            camera.retina_domain(
+                jnp.asarray(cfg.camera.K),
+                cfg.camera.width, cfg.camera.height,
+            ).astype(jnp.float32)[None],
+            (f, 1),
+        ),
         norm_k=jnp.zeros((f, k, 2)),
         norm_valid=jnp.zeros((f, k), bool),
     )

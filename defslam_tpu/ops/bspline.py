@@ -185,6 +185,47 @@ def bending_matrix(dom, nu: int, nv: int, n_quad: int = 3) -> jnp.ndarray:
     return jnp.asarray(B, dtype=jnp.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def bending_components(nu: int, nv: int, n_quad: int = 3):
+    """Unit-domain bending components (B20, B11, B02), each (nu*nv, nu*nv)
+    f32, with B11 carrying its cross-term factor 2.  Under the affine domain
+    change [0,1]^2 -> [a,b]x[c,d] with su = b-a, sv = d-c the quadrature
+    weights scale by su*sv and each derivative row by su^-du * sv^-dv, so
+
+        B(dom) = (sv/su^3) B20 + (1/(su sv)) B11 + (su/sv^3) B02
+
+    exactly — this makes the bending matrix a cheap jittable function of a
+    TRACED domain (per-keyframe bbox domains, DefKeyFrame.cc:94-133) from
+    three host-precomputed constants."""
+    unit = np.asarray([0.0, 1.0, 0.0, 1.0])
+    nint_u, nint_v = nu - 3, nv - 3
+    hu, hv = 1.0 / nint_u, 1.0 / nint_v
+    q, qw = _gauss_legendre(n_quad)
+    uu = (hu * (np.arange(nint_u)[:, None] + q[None, :])).reshape(-1)
+    vv = (hv * (np.arange(nint_v)[:, None] + q[None, :])).reshape(-1)
+    wu_q = np.tile(qw * hu, nint_u)
+    wv_q = np.tile(qw * hv, nint_v)
+    U, V = np.meshgrid(uu, vv, indexing="ij")
+    W = np.outer(wu_q, wv_q).reshape(-1)
+    out = []
+    for du, dv, fac in ((2, 0, 1.0), (1, 1, 2.0), (0, 2, 1.0)):
+        Cu = _coloc_1d_np(U.reshape(-1), unit[0], unit[1], nu, du)
+        Cv = _coloc_1d_np(V.reshape(-1), unit[2], unit[3], nv, dv)
+        Cm = (Cu[:, :, None] * Cv[:, None, :]).reshape(-1, nu * nv)
+        B = fac * np.einsum("q,qi,qj->ij", W, Cm, Cm)
+        out.append(jnp.asarray(0.5 * (B + B.T), jnp.float32))
+    return tuple(out)
+
+
+def bending_matrix_dyn(dom: jnp.ndarray, nu: int, nv: int) -> jnp.ndarray:
+    """Jittable bending matrix for a traced domain — exact scaling of the
+    three unit-domain components (see :func:`bending_components`)."""
+    B20, B11, B02 = bending_components(nu, nv)
+    su = dom[1] - dom[0]
+    sv = dom[3] - dom[2]
+    return (sv / su**3) * B20 + (1.0 / (su * sv)) * B11 + (su / sv**3) * B02
+
+
 def _coloc_1d_np(x: np.ndarray, lo: float, hi: float, n: int, order: int):
     """float64 numpy twin of coloc_1d, used for host-side precomputation."""
     nint = n - 3

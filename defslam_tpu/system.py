@@ -367,10 +367,12 @@ class System:
         pipelined = (
             c.tracking.pipelined
             and self.state == TrackingState.OK
-            # the GT harness reads validated per-keyframe state right after
-            # the step, and the legacy multi-chip mapping path orchestrates
-            # on host — both keep the synchronous keyframe protocol
-            and not (will_kf and (c.save_results or self.mesh is not None))
+            # the legacy multi-chip mapping path orchestrates on host and
+            # keeps the synchronous keyframe protocol.  (The GT harness
+            # paths flush() explicitly before evaluating, so save_results
+            # alone no longer forces synchronous keyframes — the CLI apps
+            # get the same optimistic-keyframe overlap as the bench.)
+            and not (will_kf and self.mesh is not None)
         )
         from defslam_tpu import profiling
 
@@ -400,6 +402,7 @@ class System:
         self.template = self.template._replace(nodes=res.nodes)
         self.points = new_points
         kf_backup = None
+        tmpl_flag = False
         if will_kf:
             # optimistic keyframe insertion: snapshot the store-level state
             # (COPIES — keyframe_step donates the kfs/points buffers, so a
@@ -413,7 +416,11 @@ class System:
                 self.template_ref_kf,
                 len(self.template_history),
             )
-            self._insert_keyframe(feats, matches, res)
+            # the return value matters when the GT harness forces the diag
+            # readback inside _insert_keyframe (save_results): the pending
+            # map is then already consumed, so no later backfill will set
+            # this row's template flag
+            tmpl_flag = self._insert_keyframe(feats, matches, res)
             # keyframe steps may re-register/re-anchor the pose (gauge
             # jump) — reset the motion model like the synchronous path
             self.prev_pose = self.pose
@@ -423,7 +430,7 @@ class System:
         # record the frame's metrics row NOW (frame order preserved) with
         # placeholder counts; the deferred readback backfills the true
         # values in place (Matches.txt rows end up frame-ordered, -1-free)
-        self._record(timestamp, -1, -1, will_kf, False)
+        self._record(timestamp, -1, -1, will_kf, tmpl_flag)
         # start the device->host transfer of the deferred-validation scalars
         # NOW so the later device_get is a local read instead of a full
         # round trip (the tunnel RTT is a large fraction of the frame budget)
@@ -868,9 +875,23 @@ class System:
         (DefLocalMapping::NRSfM 172-234 and updateTemplate 138-153)."""
         c = self.cfg
         retina = self.kfs.retina[slot]
+        # per-KF SfN domain (DefKeyFrame.cc:94-133) — mirror of the fused
+        # device path in mapper.keyframe_step
+        if c.mapping.per_kf_domain:
+            dom_s = mapper.bbox_domain(
+                retina, self.kfs.kp_valid[slot], self.dom,
+                margin=c.mapping.kf_domain_margin,
+            )
+            from defslam_tpu.ops import bspline as _bsp
+
+            bend_s = _bsp.bending_matrix_dyn(
+                dom_s, c.mapping.sfn_ctrl_u, c.mapping.sfn_ctrl_v
+            )
+        else:
+            dom_s, bend_s = self.dom, self.bend_sfn
         res_sfn = mapper.integrate_surface(
             retina, self.kfs.norm_k[slot], self.kfs.norm_valid[slot],
-            self.dom, self.bend_sfn, c,
+            dom_s, bend_s, c, ext_dom=self.dom,
         )
         # registration pairs: the point positions REGISTERED at keyframe
         # insertion (DefMapPoint::PosesKeyframes) gated by normal
@@ -893,11 +914,11 @@ class System:
             return False
 
         ctrl_p = mapper.polish_surface(
-            res_sfn.ctrl, reg, retina, map_xyz, mask, self.dom,
-            self.bend_sfn, c,
+            res_sfn.ctrl, reg, retina, map_xyz, mask, dom_s,
+            bend_s, c, grid_dom=self.dom,
         )
         regen = mapper.regen_template(
-            ctrl_p, reg, pose, retina, self.dom, c
+            ctrl_p, reg, pose, retina, self.dom, c, spline_dom=dom_s
         )
         self.template = regen.template
         self.template_ref_kf = slot
@@ -915,6 +936,7 @@ class System:
             point_id=self.kfs.point_id.at[slot].set(pid_row_new),
             surf_ctrl=self.kfs.surf_ctrl.at[slot].set(ctrl_p),
             surf_valid=self.kfs.surf_valid.at[slot].set(True),
+            surf_dom=self.kfs.surf_dom.at[slot].set(dom_s),
         )
         self.points, _n_culled = mapper.cull_points(
             self.points, self.kfs.point_id, self.kfs.valid,

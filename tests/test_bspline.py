@@ -109,3 +109,24 @@ def test_fit_ridge_weighted():
     ctrl = bspline.fit_ridge(u, v, y, dom, 7, 7, 1e-6, weights=w, bending=B)
     val = bspline.evaluate(ctrl, u[:150], v[:150], dom)[:, 0]
     np.testing.assert_allclose(val, (u + v)[:150], atol=1e-2)
+
+
+def test_bending_matrix_dyn_matches_host_precompute():
+    """bending_matrix_dyn (jittable affine rescale of three unit-domain
+    components) must reproduce the f64 host quadrature bending_matrix for
+    arbitrary domains — the basis of per-keyframe bbox domains
+    (DefKeyFrame.cc:94-133) inside the fused mapping step."""
+    for dom in (
+        [-0.4, 0.4, -0.3, 0.3],
+        [0.0, 0.4, -0.3, -0.05],
+        [-1.2, 1.2, -0.9, 0.9],
+    ):
+        for nu, nv in ((13, 15), (8, 8)):
+            B_ref = np.asarray(bspline.bending_matrix(dom, nu, nv))
+            B_dyn = np.asarray(
+                bspline.bending_matrix_dyn(
+                    jnp.asarray(dom, jnp.float32), nu, nv
+                )
+            )
+            rel = np.abs(B_dyn - B_ref).max() / np.abs(B_ref).max()
+            assert rel < 2e-5, (dom, nu, nv, rel)
