@@ -66,7 +66,15 @@ def main():
             camera=seq.camera,
             orb=OrbConfig(n_features=1200, n_levels=6, max_keypoints=1536),
             sft=SfTConfig(lm_iterations=50),
-            tracking=TrackingConfig(keyframe_period=10),
+            # depth 2 measured best for p95/p99 (sweep r5: depth 3/4 gain
+            # ~0.7 fps but push p99 81 -> 121/137 ms — longer drains);
+            # split keyframe dispatch halves the largest single dispatch
+            tracking=TrackingConfig(
+                keyframe_period=10,
+                pipeline_depth=int(os.environ.get("DEFSLAM_BENCH_DEPTH", 2)),
+                split_keyframe_dispatch=os.environ.get(
+                    "DEFSLAM_BENCH_SPLIT", "1") == "1",
+            ),
             capacity=CapacityConfig(max_map_points=4096, max_keyframes=16),
         )
         n_warm, n_meas = 12, 12

@@ -261,6 +261,15 @@ class TrackingConfig:
     # compute (e.g. a tunneled TPU); depth 1 = the round-2 behavior.
     pipelined: bool = True
     pipeline_depth: int = 2
+    # split the keyframe mapping chain into TWO device dispatches with the
+    # next frame's compute interleaved between them (mapper.keyframe_step_a
+    # / _b): no single dispatch then exceeds ~half the chain's device time,
+    # which bounds keyframe-adjacent p95/p99 frame latency.  The cost is
+    # one frame of extra swap latency: a template regenerated at keyframe t
+    # becomes visible to tracking at frame t+2 instead of t+1 (the
+    # reference's PARALLEL mode has the same asynchrony, System.cc:140-142,
+    # with an unbounded lag).  Synchronous-equivalence tests keep this off.
+    split_keyframe_dispatch: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -865,46 +865,40 @@ class MappingDiag(NamedTuple):
     pt_dropped: jnp.ndarray  # () int32 shared points past PAIR_CAP
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def keyframe_step(
-    kfs,  # KeyframeStore (donated)
-    points,  # PointStore (donated)
-    tmpl: meshmod.Template,
-    pose: jnp.ndarray,  # (4, 4) current frame pose (the new KF's pose)
-    feats,  # Features of the keyframe frame
-    kp_of_point: jnp.ndarray,  # (P,) frame match per point
-    inlier: jnp.ndarray,  # (P,) SfT inlier gate
+class KFCarry(NamedTuple):
+    """Decision scalars handed from keyframe_step_a to keyframe_step_b when
+    the chain runs as two interleaved dispatches (tracking.
+    split_keyframe_dispatch): everything else B needs lives in the stores."""
+
+    slot: jnp.ndarray  # () int32
+    kf_t: jnp.ndarray  # () int32 template-source keyframe
+    gate: jnp.ndarray  # () bool — NRSfM chain runs
+    exploring: jnp.ndarray  # () bool
+    n_new: jnp.ndarray  # () int32
+    n_norm: jnp.ndarray  # () int32
+    n_pairs: jnp.ndarray  # () int32
+    obs_dropped: jnp.ndarray  # () int32
+    pair_dropped: jnp.ndarray  # () int32
+    pt_dropped: jnp.ndarray  # () int32
+
+
+def _kf_step_a(
+    kfs,
+    points,
+    pose: jnp.ndarray,
+    feats,
+    kp_of_point: jnp.ndarray,
+    inlier: jnp.ndarray,
     K: jnp.ndarray,
     dom: jnp.ndarray,
     bend_warp: jnp.ndarray,
-    bend_sfn: jnp.ndarray,
-    tmpl_ref_kf: jnp.ndarray,  # () int32 — current template's source KF
-    kf_counter: jnp.ndarray,  # () int32
-    frame_id: jnp.ndarray,  # () int32
+    tmpl_ref_kf: jnp.ndarray,
+    frame_id: jnp.ndarray,
     cfg: Config,
 ):
-    """The ENTIRE keyframe step as one device-resident computation with NO
-    host readback: slot selection (redundancy-aware eviction), keyframe
-    insertion, warps -> densify -> distinctive descriptors -> normals
-    (covNorm-gated, warm-started) -> template decision -> SfN + Sim3 +
-    re-template -> re-anchor SfT -> lifecycle culling.
-
-    This is the reference's PARALLEL-mode semantics (System.cc:140-142:
-    DefLocalMapping runs beside tracking) re-expressed for an accelerator:
-    instead of a mapping thread, the whole step is dispatched asynchronously
-    and the ONE decision scalar bundle (MappingDiag) is read back a frame
-    later — the host never blocks on the mapping chain.  The round-2 design
-    had two blocking syncs here (template decision + Sim3 accept).
-
-    Control flow that the reference runs on the CPU (needNewTemplate,
-    selectKeyframe, chi gates, DefLocalMapping.cc:138-234) is computed with
-    jnp.where / lax.cond on device; the expensive re-template + re-anchor
-    branch only executes when its gate passes (lax.cond executes a single
-    branch).
-
-    Returns (kfs, points, template, pose, diag)."""
-    from defslam_tpu.tracking import tracker
-
+    """First half of the keyframe chain: slot selection + insertion +
+    warps -> densify -> distinctive descriptors -> normals -> template
+    decision scalars.  Returns (kfs, points, KFCarry)."""
     c = cfg
     f_cap = kfs.capacity
     p_cap = points.capacity
@@ -1022,6 +1016,36 @@ def keyframe_step(
     kf_t = jnp.where(exploring, slot, sel).astype(jnp.int32)
     n_norm_t = jnp.sum(kfs.norm_valid[kf_t]).astype(jnp.int32)
     gate = (cp.n_pairs > 0) & (n_norm_t >= c.mapping.min_normals)
+    carry = KFCarry(
+        slot=slot, kf_t=kf_t, gate=gate, exploring=exploring, n_new=n_new,
+        n_norm=n_norm_t, n_pairs=cp.n_pairs, obs_dropped=obs_dropped,
+        pair_dropped=cp.n_pair_dropped, pt_dropped=cp.n_pt_dropped,
+    )
+    return kfs, points, carry
+
+
+def _kf_step_b(
+    kfs,
+    points,
+    tmpl: meshmod.Template,
+    pose: jnp.ndarray,
+    feats,
+    carry: KFCarry,
+    K: jnp.ndarray,
+    dom: jnp.ndarray,
+    bend_sfn: jnp.ndarray,
+    kf_counter: jnp.ndarray,
+    cfg: Config,
+    split: bool = False,
+):
+    """Second half of the keyframe chain: SfN + Sim3 registration +
+    re-template + re-anchor SfT + lifecycle culling.
+    Returns (kfs, points, template, pose, diag, gauge); ``split`` selects
+    the re-anchor formulation (see the comment in _apply)."""
+    from defslam_tpu.tracking import tracker
+
+    c = cfg
+    kf_t = carry.kf_t
 
     def _retemplate(args):
         kfs, points = args
@@ -1074,28 +1098,42 @@ def keyframe_step(
                 surf_dom=kfs.surf_dom.at[kf_t].set(dom_s),
             )
             tmpl2 = regen.template
-            # re-anchor camera + new mesh against the CURRENT frame with
-            # the temporal term off (DefTracking.cc:115-117:
-            # DefPoseOptimization(..., RegTemp=0) after updateTemplate)
-            m2 = tracker.match_points_to_frame(points2, pose, K, feats, c)
+            # re-anchor camera + new mesh against the KEYFRAME's features
+            # with the temporal term off (DefTracking.cc:115-117:
+            # DefPoseOptimization(..., RegTemp=0) after updateTemplate).
+            # In the FUSED dispatch the keyframe IS the current frame: the
+            # solve starts from `pose` and its result replaces the live
+            # pose directly (bit-exact round-4 behavior — the fused stress
+            # ATE is sensitive to even the float noise of composing
+            # pose @ inv(pose) here).  In the SPLIT dispatch the system
+            # has moved on a frame: the solve anchors on the KEYFRAME's
+            # stored pose and the swap's gauge change is returned as a
+            # right-multiplied delta M (pose_kf -> re-anchored pose) that
+            # the host applies to the LIVE pose and motion model instead
+            # of rewinding to the keyframe's viewpoint.
+            pose_kf = kfs.pose[carry.slot] if split else pose
+            m2 = tracker.match_points_to_frame(points2, pose_kf, K, feats, c)
             res2 = tracker.sft_track(
-                points2, m2, feats, tmpl2, pose, K, c, reg_temp=0.0
+                points2, m2, feats, tmpl2, pose_kf, K, c, reg_temp=0.0
             )
             tmpl2 = tmpl2._replace(nodes=res2.nodes)
             points2 = tracker.reposition_points(points2, res2.nodes, c)
-            return kfs2, points2, tmpl2, res2.T
+            gauge = se3.inverse(pose_kf) @ res2.T
+            pose2 = pose @ gauge if split else res2.T
+            return kfs2, points2, tmpl2, pose2, gauge
 
-        kfs, points, tmpl2, pose2 = jax.lax.cond(
-            acc, _apply, lambda a: (a[0], a[1], tmpl, pose), (kfs, points)
+        kfs, points, tmpl2, pose2, gauge = jax.lax.cond(
+            acc, _apply,
+            lambda a: (a[0], a[1], tmpl, pose, jnp.eye(4)), (kfs, points)
         )
-        return kfs, points, tmpl2, pose2, acc
+        return kfs, points, tmpl2, pose2, gauge, acc
 
     def _skip(args):
         kfs, points = args
-        return kfs, points, tmpl, pose, jnp.asarray(False)
+        return kfs, points, tmpl, pose, jnp.eye(4), jnp.asarray(False)
 
-    kfs, points, tmpl_out, pose_out, accepted = jax.lax.cond(
-        gate, _retemplate, _skip, (kfs, points)
+    kfs, points, tmpl_out, pose_out, gauge, accepted = jax.lax.cond(
+        carry.gate, _retemplate, _skip, (kfs, points)
     )
 
     # ---- MapPoint lifecycle culling (reachability + found-ratio rules)
@@ -1103,12 +1141,97 @@ def keyframe_step(
         points, kfs.point_id, kfs.valid, kf_counter
     )
     diag = MappingDiag(
-        slot=slot, kf_t=kf_t, accepted=accepted, exploring=exploring,
-        n_pairs=cp.n_pairs, n_new=n_new, n_norm=n_norm_t,
-        n_culled=n_culled, obs_dropped=obs_dropped,
-        pair_dropped=cp.n_pair_dropped, pt_dropped=cp.n_pt_dropped,
+        slot=carry.slot, kf_t=kf_t, accepted=accepted,
+        exploring=carry.exploring, n_pairs=carry.n_pairs, n_new=carry.n_new,
+        n_norm=carry.n_norm, n_culled=n_culled,
+        obs_dropped=carry.obs_dropped, pair_dropped=carry.pair_dropped,
+        pt_dropped=carry.pt_dropped,
+    )
+    return kfs, points, tmpl_out, pose_out, diag, gauge
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def keyframe_step(
+    kfs,  # KeyframeStore (donated)
+    points,  # PointStore (donated)
+    tmpl: meshmod.Template,
+    pose: jnp.ndarray,  # (4, 4) current frame pose (the new KF's pose)
+    feats,  # Features of the keyframe frame
+    kp_of_point: jnp.ndarray,  # (P,) frame match per point
+    inlier: jnp.ndarray,  # (P,) SfT inlier gate
+    K: jnp.ndarray,
+    dom: jnp.ndarray,
+    bend_warp: jnp.ndarray,
+    bend_sfn: jnp.ndarray,
+    tmpl_ref_kf: jnp.ndarray,  # () int32 — current template's source KF
+    kf_counter: jnp.ndarray,  # () int32
+    frame_id: jnp.ndarray,  # () int32
+    cfg: Config,
+):
+    """The ENTIRE keyframe step as one device-resident computation with NO
+    host readback: slot selection (redundancy-aware eviction), keyframe
+    insertion, warps -> densify -> distinctive descriptors -> normals
+    (covNorm-gated, warm-started) -> template decision -> SfN + Sim3 +
+    re-template -> re-anchor SfT -> lifecycle culling.
+
+    This is the reference's PARALLEL-mode semantics (System.cc:140-142:
+    DefLocalMapping runs beside tracking) re-expressed for an accelerator:
+    instead of a mapping thread, the whole step is dispatched asynchronously
+    and the ONE decision scalar bundle (MappingDiag) is read back a frame
+    later — the host never blocks on the mapping chain.  The round-2 design
+    had two blocking syncs here (template decision + Sim3 accept).
+
+    Control flow that the reference runs on the CPU (needNewTemplate,
+    selectKeyframe, chi gates, DefLocalMapping.cc:138-234) is computed with
+    jnp.where / lax.cond on device; the expensive re-template + re-anchor
+    branch only executes when its gate passes (lax.cond executes a single
+    branch).
+
+    Returns (kfs, points, template, pose, diag).  The same computation is
+    available as TWO dispatches (keyframe_step_a / keyframe_step_b) so the
+    host can interleave a frame between the halves
+    (tracking.split_keyframe_dispatch) — no single dispatch then exceeds
+    ~half the chain's device time, which is what bounds keyframe-adjacent
+    p95/p99 frame latency."""
+    kfs, points, carry = _kf_step_a(
+        kfs, points, pose, feats, kp_of_point, inlier, K, dom, bend_warp,
+        tmpl_ref_kf, frame_id, cfg,
+    )
+    # the fused dispatch keeps the 5-tuple contract (gauge == the pose
+    # replacement itself here: the keyframe IS the current frame)
+    kfs, points, tmpl_out, pose_out, diag, _gauge = _kf_step_b(
+        kfs, points, tmpl, pose, feats, carry, K, dom, bend_sfn,
+        kf_counter, cfg,
     )
     return kfs, points, tmpl_out, pose_out, diag
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def keyframe_step_a(
+    kfs, points, pose, feats, kp_of_point, inlier, K, dom, bend_warp,
+    tmpl_ref_kf, frame_id, cfg: Config,
+):
+    """First half of the split keyframe chain (insert + warps + densify +
+    normals + decision scalars); see keyframe_step."""
+    return _kf_step_a(
+        kfs, points, pose, feats, kp_of_point, inlier, K, dom, bend_warp,
+        tmpl_ref_kf, frame_id, cfg,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def keyframe_step_b(
+    kfs, points, tmpl, pose, feats, carry, K, dom, bend_sfn, kf_counter,
+    cfg: Config,
+):
+    """Second half of the split keyframe chain (SfN + Sim3 + re-template +
+    re-anchor + culling); see keyframe_step.  NO buffer donation: the
+    pre-B stores double as the interleaved frame's rollback snapshot
+    (system._dispatch_pending_kf_b)."""
+    return _kf_step_b(
+        kfs, points, tmpl, pose, feats, carry, K, dom, bend_sfn,
+        kf_counter, cfg, split=True,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -393,7 +393,9 @@ class System:
         # keeps streaming frames instead of blocking on the diag readback
         self._finalize_pending_map(force=False)
         if not pipelined:
-            return self._validate_and_commit(feats_or_img, out, timestamp)
+            result = self._validate_and_commit(feats_or_img, out, timestamp)
+            self._dispatch_pending_kf_b()
+            return result
         feats, matches, res, new_points, stats = out
         backup = (self.pose, self.prev_pose, self.template, self.points,
                   self.frames_since_kf)
@@ -427,6 +429,13 @@ class System:
             self.frames_since_kf = 0
         else:
             self.frames_since_kf += 1
+            # second half of a split keyframe chain rides BEHIND this
+            # frame's compute on the device stream; the pre-B state it
+            # returns is exactly what this frame's compute consumed, so it
+            # doubles as this frame's store-level rollback snapshot
+            b_backup = self._dispatch_pending_kf_b()
+            if b_backup is not None:
+                kf_backup = b_backup
         # record the frame's metrics row NOW (frame order preserved) with
         # placeholder counts; the deferred readback backfills the true
         # values in place (Matches.txt rows end up frame-ordered, -1-free)
@@ -445,9 +454,12 @@ class System:
 
     def flush(self):
         """Finalize all in-flight pipelined frames and any pending keyframe
-        mapping decision (blocking)."""
+        mapping decision (blocking).  In-flight frames are validated BEFORE
+        a still-undispatched chain half B: their compute consumed the pre-B
+        state, and a rollback must not have to undo B."""
         while getattr(self, "_pending", None):
             self._finalize_pending()
+        self._dispatch_pending_kf_b()
         self._finalize_pending_map()
 
     def _finalize_pending(self) -> bool:
@@ -492,8 +504,10 @@ class System:
                 self.kf_counter = kf_counter
                 self.template_ref_kf = tmpl_ref
                 del self.template_history[n_hist:]
-                # the in-flight mapping diag belongs to the undone step
+                # the in-flight mapping diag / undispatched chain half
+                # belong to the undone step
                 self._pending_map = None
+                self._pending_kf_b = None
                 break
         replay = [(img, out, timestamp, row)] + [
             (im, None, ts, rw) for im, _out, ts, _bk, rw, _kb in rest
@@ -642,6 +656,35 @@ class System:
         c = self.cfg
         if self.mesh is None:
             self._finalize_pending_map()
+            self._dispatch_pending_kf_b()  # a period-1 cadence edge case
+            use_split = (
+                c.tracking.split_keyframe_dispatch
+                and not (
+                    c.save_results
+                    and getattr(self, "_gt_eval", None) is not None
+                )
+            )
+            if use_split:
+                # half 1 now; half 2 rides behind the NEXT frame's compute
+                # (dispatched from the next track call), so no single
+                # device dispatch exceeds ~half the chain
+                with profiling.stage("keyframe.dispatch_a"):
+                    self.kfs, self.points, carry = mapper.keyframe_step_a(
+                        self.kfs, self.points, self.pose, feats,
+                        matches.kp_of_point, res.inlier, self.K, self.dom,
+                        self.bend_warp,
+                        jnp.asarray(self.template_ref_kf, jnp.int32),
+                        jnp.asarray(self.frame_id, jnp.int32), c,
+                    )
+                # B must see the PRE-increment keyframe counter (the fused
+                # path passes it before the += 1): the culling recency
+                # window is keyed on it
+                kfc = self.kf_counter
+                self.kf_counter += 1
+                self._pending_kf_b = (
+                    carry, feats, len(self._metrics), kfc
+                )
+                return False
             with profiling.stage("keyframe.dispatch"):
                 out = mapper.keyframe_step(
                     self.kfs, self.points, self.template, self.pose, feats,
@@ -684,6 +727,46 @@ class System:
             self.template_history.append((self.frame_id, self.template.nodes))
             if len(self.template_history) > cap:
                 del self.template_history[0]
+
+    def _dispatch_pending_kf_b(self):
+        """Dispatch the second half of a split keyframe chain
+        (tracking.split_keyframe_dispatch).  Called right after the next
+        frame's state assignments, so on the device stream the order is
+        [frame t][chain A][frame t+1][chain B][frame t+2] and no frame
+        waits behind more than half the chain.
+
+        Returns a rollback snapshot of the PRE-B state in the kf_backup
+        format (keyframe_step_b does not donate, so no copies are needed):
+        the interleaved frame's compute consumed exactly this state, and a
+        later validation failure of that frame must restore it."""
+        pending = getattr(self, "_pending_kf_b", None)
+        if pending is None:
+            return None
+        self._pending_kf_b = None
+        carry, feats, row, kfc = pending
+        from defslam_tpu import profiling
+
+        b_backup = (
+            self.kfs, self.kf_counter, self.template_ref_kf,
+            len(self.template_history),
+        )
+        with profiling.stage("keyframe.dispatch_b"):
+            out = mapper.keyframe_step_b(
+                self.kfs, self.points, self.template, self.pose, feats,
+                carry, self.K, self.dom, self.bend_sfn,
+                jnp.asarray(kfc, jnp.int32), self.cfg,
+            )
+        self.kfs, self.points, self.template, self.pose, diag, gauge = out
+        # a re-template changes the world gauge; the LIVE pose was already
+        # transformed by B (pose @ gauge).  Transform the motion model by
+        # the same delta so the constant-velocity prediction survives the
+        # swap instead of rewinding to the keyframe's viewpoint.
+        self.prev_pose = self.prev_pose @ gauge
+        for a in jax.tree.leaves(diag):
+            a.copy_to_host_async()
+        self._pending_map = (diag, row)
+        self._record_template_history()
+        return b_backup
 
     def _finalize_pending_map(self, force: bool = True):
         """Deferred readback of the last keyframe step's decision scalars;

@@ -42,9 +42,13 @@ def stress_run():
     else:
         h, w, feats, kps, pts_cap = 240, 320, 600, 768, 2048
         iters = 25
+    # round-5: handheld 6-DoF attitude (16 deg yaw sweep + pitch/roll),
+    # three deformation modes and brightness drift — the Mandala motion
+    # regime (README.md section 5), not pure translation
     seq = make_sequence(
         n_frames=N_FRAMES, height=h, width=w, max_amp=0.07,
         camera_motion=0.9, seed=9, occlusion=OCCLUSION,
+        rotation_deg=16, deform_modes=3, brightness_drift=0.1,
     )
     cfg = Config(
         camera=seq.camera,
@@ -116,10 +120,14 @@ def test_final_accuracy_gates(stress_run):
     sys_, seq = stress_run
     ate = ate_rmse_trajectory(sys_.trajectory, seq.poses)
     # travel = 0.9 world units at scene depth ~1, ~20 template swaps and a
-    # full-occlusion relocalization in the middle (whose monocular scale
-    # re-anchoring dominates the residual: observed 0.158 at round 4).
-    # Regression gate; tightening it tracks the swap-gauge-jump work.
-    assert ate < 0.20, f"ATE RMSE {ate:.4f}"
+    # full-occlusion relocalization in the middle.  Round-4 observed 0.158
+    # under the flat-extension prior on a rotation-FREE sequence; round 5
+    # added the 6-DoF attitude + multi-mode deformation AND the
+    # tilt-continuation extension (sfn_tilt_extension), observed 0.141 —
+    # gate tightened 0.20 -> 0.15 (0.10 remains the target; the residual
+    # is dominated by the occlusion-relocalization monocular gauge jump,
+    # see BASELINE.md round-5 notes).
+    assert ate < 0.15, f"ATE RMSE {ate:.4f}"
 
     # median relative depth error of the final tracked structure
     import jax.numpy as jnp
@@ -142,13 +150,11 @@ def test_final_accuracy_gates(stress_run):
     z = pc[m, 2]
     s = np.median(gt / np.maximum(z, 1e-9))
     med = float(np.median(np.abs(s * z - gt) / np.maximum(gt, 1e-9)))
-    # the flat-extension prior (sfn_flat_extension) trades a bounded
-    # constant-depth bias in newly explored regions (~deformation amp
-    # until normals arrive) against the unbounded compounding tilt it
-    # replaces; at this scene's amp 0.07 the end-state median sits just
-    # above 0.10 (observed 0.108) while the full-scale bench depth error
-    # IMPROVED 0.032 -> 0.012
-    assert med < 0.12, f"median depth error {med:.3f}"
+    # round-4's flat extension left a constant-depth bias in newly
+    # explored regions (observed 0.108, gate 0.12); the round-5 tilt
+    # continuation extends the local slope instead — gate tightened to
+    # 0.08 per the round-4 VERDICT.
+    assert med < 0.08, f"median depth error {med:.3f}"
 
 
 def test_matches_stay_healthy(stress_run):

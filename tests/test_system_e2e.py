@@ -171,3 +171,79 @@ def test_pipelined_keyframe_rollback_matches_synchronous(seq):
     assert a.kf_counter == b.kf_counter
     assert a.template_ref_kf == b.template_ref_kf
     assert len(a.template_history) == len(b.template_history)
+
+
+def test_split_keyframe_dispatch_tracks_and_retemplates(seq):
+    """tracking.split_keyframe_dispatch: the two-dispatch keyframe chain
+    (mapper.keyframe_step_a/_b with a frame interleaved) must track the
+    whole sequence, re-template, and land within a small accuracy envelope
+    of the fused dispatch (exact equality is not expected: the template
+    swap becomes visible one frame later, the reference PARALLEL-mode
+    asynchrony)."""
+    import dataclasses
+
+    from defslam_tpu.groundtruth.gt import ate_rmse_trajectory
+
+    cam = seq.camera
+
+    def run(split: bool):
+        cfg = Config(
+            camera=cam,
+            orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+            sft=SfTConfig(lm_iterations=15),
+            tracking=TrackingConfig(keyframe_period=4,
+                                    split_keyframe_dispatch=split),
+            capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+            mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
+        )
+        sys_ = System(cfg)
+        for t in range(len(seq.frames)):
+            sys_.track_monocular(seq.frames[t], timestamp=float(t))
+        sys_.flush()
+        return sys_
+
+    fused = run(False)
+    split = run(True)
+    ok_f = sum(1 for m in fused._metrics if m["state"] == "OK")
+    ok_s = sum(1 for m in split._metrics if m["state"] == "OK")
+    assert ok_s == len(split._metrics), "split dispatch lost tracking"
+    assert ok_s == ok_f
+    # both re-templated
+    assert sum(1 for m in split._metrics if m["template"]) >= 1
+    ate_f = float(ate_rmse_trajectory(fused.trajectory, seq.poses))
+    ate_s = float(ate_rmse_trajectory(split.trajectory, seq.poses))
+    assert ate_s < max(2.0 * ate_f, ate_f + 0.02), (ate_s, ate_f)
+
+
+def test_split_keyframe_dispatch_rollback(seq):
+    """A validation failure of the frame interleaved between the two chain
+    halves must roll back coherently: the pre-B stores (B does not donate)
+    are that frame's snapshot, and the undispatched/landed B is discarded.
+    The run must recover and keep tracking."""
+    cam = seq.camera
+    cfg = Config(
+        camera=cam,
+        orb=OrbConfig(n_features=300, n_levels=3, max_keypoints=384),
+        sft=SfTConfig(lm_iterations=15),
+        tracking=TrackingConfig(keyframe_period=4,
+                                split_keyframe_dispatch=True),
+        capacity=CapacityConfig(max_map_points=1024, max_keyframes=8),
+        mapping=MappingConfig(points_to_template=60, chi_limit=0.2),
+    )
+    sys_ = System(cfg)
+    for t in range(12):
+        img = seq.frames[t]
+        if t == 5:  # the frame right after the keyframe at t=4: blank
+            img = np.full_like(img, 128.0)
+        sys_.track_monocular(img, timestamp=float(t))
+    sys_.flush()
+    by_t = {m["t"]: m for m in sys_._metrics}
+    assert by_t[5.0]["state"] != "OK"
+    # recovery: later frames track again and stores stay consistent
+    assert by_t[11.0]["state"] == "OK"
+    pid = np.asarray(sys_.kfs.point_id)
+    pv = np.asarray(sys_.points.valid)
+    bound = pid[pid >= 0]
+    assert (bound < sys_.points.capacity).all()
+    # most observations reference live points (culling may retire a few)
+    assert pv[bound].mean() > 0.5
