@@ -17,7 +17,34 @@ import sys
 import time
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for the CLI apps: without it every
+    process pays the full kernel-compilation cost again (tens of seconds
+    for the fused keyframe chain).  bench.py already does this; deployment
+    entry points must too.  Override the location with DEFSLAM_CACHE_DIR;
+    set it to the empty string to disable."""
+    import os
+
+    d = os.environ.get("DEFSLAM_CACHE_DIR")
+    if d == "":
+        return
+    if d is None:
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+        d = repo_cache if os.path.isdir(repo_cache) else os.path.join(
+            os.path.expanduser("~"), ".cache", "defslam_tpu", "jax"
+        )
+    os.makedirs(d, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="defslam_tpu")
     # debug-workflow affordances shared by every mode — the headless
     # equivalents of the reference viewer's live regularizer sliders and
