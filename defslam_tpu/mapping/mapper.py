@@ -431,15 +431,22 @@ def registration_pairs(
     (getFacet) and its normal reliably estimated (covNorm)."""
     p_cap = points_valid.shape[0]
     pid = jnp.clip(pid_row, 0, p_cap - 1)
-    mask = (
+    embedded = (
         (pid_row >= 0)
         & points_valid[pid]
         & (points_facet[pid] >= 0)
         & kp_xyz_valid
-        & norm_valid
     )
+    mask = embedded & norm_valid
     map_cam = se3.transform(kf_pose, kp_xyz)
-    return surf_xyz, jnp.where(mask[:, None], map_cam, 0.0), mask
+    # `mask` (covNorm-gated) drives the Sim3 registration, mirroring the
+    # reference; `embedded` additionally keeps pairs whose normal did NOT
+    # solve this round — exactly the newly-explored region where the SfN
+    # surface is extrapolation.  polish_surface anchors on `embedded` so
+    # the old registered map depth there survives the swap instead of
+    # every point being dragged onto the extrapolated spline (the round-5
+    # diagnosed per-swap scale-ratchet mechanism, see BASELINE.md).
+    return surf_xyz, jnp.where(embedded[:, None], map_cam, 0.0), mask, embedded
 
 
 def polish_surface(
@@ -863,6 +870,11 @@ class MappingDiag(NamedTuple):
     obs_dropped: jnp.ndarray  # () int32 observations past OBS_CAP
     pair_dropped: jnp.ndarray  # () int32 eligible pairs past max_warp_pairs
     pt_dropped: jnp.ndarray  # () int32 shared points past PAIR_CAP
+    reg_scale: jnp.ndarray  # () f32 accepted Sim3 scale (1.0 when no swap)
+    # reg_scale is the surface->map scale of the accepted registration;
+    # since SfN median-normalizes the surface to depth 1, its trace across
+    # swaps IS the map's absolute-scale trajectory (the on-line analogue of
+    # the reference's ScaleVariation.txt stream, Tracking.cc:150-167)
 
 
 class KFCarry(NamedTuple):
@@ -1070,7 +1082,7 @@ def _kf_step_b(
             retina_t, kfs.norm_k[kf_t], kfs.norm_valid[kf_t],
             dom_s, bend_s, c, ext_dom=dom,
         )
-        surf_xyz, map_xyz, mask = registration_pairs(
+        surf_xyz, map_xyz, mask, embedded = registration_pairs(
             res_sfn.xyz, pid_t, kfs.kp_xyz[kf_t], kfs.kp_xyz_valid[kf_t],
             kfs.norm_valid[kf_t], points.valid, points.facet, pose_t,
         )
@@ -1080,8 +1092,8 @@ def _kf_step_b(
         def _apply(args2):
             kfs, points = args2
             ctrl_p = polish_surface(
-                res_sfn.ctrl, reg, retina_t, map_xyz, mask, dom_s, bend_s,
-                c, grid_dom=dom,
+                res_sfn.ctrl, reg, retina_t, map_xyz, embedded, dom_s,
+                bend_s, c, grid_dom=dom,
             )
             regen = regen_template(
                 ctrl_p, reg, pose_t, retina_t, dom, c, spline_dom=dom_s
@@ -1126,13 +1138,15 @@ def _kf_step_b(
             acc, _apply,
             lambda a: (a[0], a[1], tmpl, pose, jnp.eye(4)), (kfs, points)
         )
-        return kfs, points, tmpl2, pose2, gauge, acc
+        reg_s = jnp.where(acc, reg.s, 1.0).astype(jnp.float32)
+        return kfs, points, tmpl2, pose2, gauge, acc, reg_s
 
     def _skip(args):
         kfs, points = args
-        return kfs, points, tmpl, pose, jnp.eye(4), jnp.asarray(False)
+        return (kfs, points, tmpl, pose, jnp.eye(4), jnp.asarray(False),
+                jnp.asarray(1.0, jnp.float32))
 
-    kfs, points, tmpl_out, pose_out, gauge, accepted = jax.lax.cond(
+    kfs, points, tmpl_out, pose_out, gauge, accepted, reg_s = jax.lax.cond(
         carry.gate, _retemplate, _skip, (kfs, points)
     )
 
@@ -1145,7 +1159,7 @@ def _kf_step_b(
         exploring=carry.exploring, n_pairs=carry.n_pairs, n_new=carry.n_new,
         n_norm=carry.n_norm, n_culled=n_culled,
         obs_dropped=carry.obs_dropped, pair_dropped=carry.pair_dropped,
-        pt_dropped=carry.pt_dropped,
+        pt_dropped=carry.pt_dropped, reg_scale=reg_s,
     )
     return kfs, points, tmpl_out, pose_out, diag, gauge
 

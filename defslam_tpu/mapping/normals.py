@@ -122,8 +122,14 @@ def solve_k1k2(
     obs: PairObs,  # arrays with leading shape (P, O)
     k_init: jnp.ndarray,  # (P, 2)
     num_iters: int = 30,
+    unroll: int = 4,
 ) -> NormalResult:
-    """All map points' normals in one vmapped 2-parameter LM."""
+    """All map points' normals in one vmapped 2-parameter LM.
+
+    unroll > 0 uses the fixed-trip scan-unrolled LM: with thousands of
+    lanes some lane always runs the full budget, so the while_loop's
+    early exit is dead weight — the scan fuses across iterations and
+    cuts the keyframe chain's dominant latency (see ops/lm.py)."""
 
     def solve_one(o: PairObs, k0):
         m = o.mask.astype(k0.dtype)
@@ -132,7 +138,8 @@ def solve_k1k2(
             r = metric_residuals(x, o)  # (O, 3)
             return (r * m[:, None]).reshape(-1)
 
-        res = lm.lm_solve(residual_fn, k0, num_iters=num_iters)
+        res = lm.lm_solve(residual_fn, k0, num_iters=num_iters,
+                          unroll=unroll)
         cov = jnp.linalg.inv(res.JtJ + 1e-10 * jnp.eye(2))
         return res.x, cov, res.cost
 

@@ -69,6 +69,7 @@ def lm_solve(
     retract: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
     use_jacrev: bool = False,
     rtol: float = 1e-6,
+    unroll: int = 0,
 ) -> LMResult:
     """Dense damped LM, up to `num_iters` iterations with early termination
     when an accepted step improves the cost by less than `rtol` relative
@@ -130,12 +131,29 @@ def lm_solve(
     # zero-cost problems (fully masked / padding lanes) are done before
     # they start: under vmap the while_loop runs until EVERY lane's cond
     # is false, so idle lanes must not keep the batch spinning
-    x, _, _, lam, cost, _, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (x0, r0, w0, jnp.asarray(lam0, x0.dtype), c0, jnp.asarray(0),
-         c0 <= 0.0),
-    )
+    init = (x0, r0, w0, jnp.asarray(lam0, x0.dtype), c0, jnp.asarray(0),
+            c0 <= 0.0)
+    if unroll > 0:
+        # fixed-trip scan with partial unrolling: identical math to the
+        # while_loop (converged lanes freeze via the done flag), but under
+        # a large vmap SOME lane virtually always runs the full budget so
+        # the data-dependent early exit buys nothing — the scan drops the
+        # per-iteration cond round trip and lets XLA fuse across unrolled
+        # bodies (the keyframe-chain normal solver's latency lever).
+        def scan_body(carry, _):
+            done_prev = carry[6]
+            new = body(carry)
+            merged = tuple(
+                jnp.where(done_prev, o, n) for o, n in zip(carry, new)
+            )
+            return merged, None
+
+        (x, _, _, lam, cost, _, _), _ = jax.lax.scan(
+            scan_body, init, None, length=num_iters,
+            unroll=min(unroll, num_iters),
+        )
+    else:
+        x, _, _, lam, cost, _, _ = jax.lax.while_loop(cond, body, init)
     # final normal matrix for covariance consumers
     rF = residual_fn(x)
     wF = weights(rF)

@@ -797,6 +797,7 @@ class System:
                 map_pair_dropped=int(d.pair_dropped),
                 map_pt_dropped=int(d.pt_dropped),
                 points_culled=int(d.n_culled),
+                reg_scale=float(d.reg_scale),
             )
         return d
 
@@ -981,7 +982,7 @@ class System:
         # reliability (covNorm, SurfaceRegistration.cc:69-77)
         pose = self.kfs.pose[slot]
         pid_row = self.kfs.point_id[slot]
-        surf_xyz, map_xyz, mask = mapper.registration_pairs(
+        surf_xyz, map_xyz, mask, embedded = mapper.registration_pairs(
             res_sfn.xyz, pid_row,
             self.kfs.kp_xyz[slot], self.kfs.kp_xyz_valid[slot],
             self.kfs.norm_valid[slot],
@@ -997,7 +998,7 @@ class System:
             return False
 
         ctrl_p = mapper.polish_surface(
-            res_sfn.ctrl, reg, retina, map_xyz, mask, dom_s,
+            res_sfn.ctrl, reg, retina, map_xyz, embedded, dom_s,
             bend_s, c, grid_dom=self.dom,
         )
         regen = mapper.regen_template(

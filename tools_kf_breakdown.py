@@ -94,7 +94,7 @@ pose = sys_.kfs.pose[slot]
 out_rp = bench("registration_pairs+register", lambda: mapper.register_surface(
     *mapper.registration_pairs(res_sfn.xyz, pid_row, sys_.kfs.kp_xyz[slot],
         sys_.kfs.kp_xyz_valid[slot], sys_.kfs.norm_valid[slot],
-        sys_.points.valid, sys_.points.facet, pose), c))
+        sys_.points.valid, sys_.points.facet, pose)[:3], c))
 reg = out_rp
 regen = bench("regen_template", lambda: mapper.regen_template(
     res_sfn.ctrl, reg, pose, retina, sys_.dom, c))
