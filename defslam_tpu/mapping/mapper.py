@@ -309,18 +309,50 @@ def densify_matches(
     radius_px = 2.0 * cfg.tracking.projection_window
     rad_ret = radius_px / cfg.camera.fx
 
-    def one(ctrl, ret2, v2, d2, pv):
-        pred = bspline.evaluate(ctrl, retina1[:, 0], retina1[:, 1], dom)  # (K, 2)
-        window = matching.window_mask(pred, ret2, rad_ret)
+    pred = jax.vmap(
+        lambda ctrl: bspline.evaluate(ctrl, retina1[:, 0], retina1[:, 1], dom)
+    )(ctrls)  # (NP, K, 2) warp predictions of every KF1 kp in each KF2
+    va = valid1[None, :] & pair_valid[:, None]  # (NP, K)
+
+    if jax.default_backend() == "tpu":
+        # fused Pallas path: windowed Hamming + two-min reduction per row,
+        # batched over the pair axis — the XLA path below materializes the
+        # (NP, K, K) distance matrix (plus the (NP, K, K, 8) XOR tensor)
+        # in HBM, which dominates the keyframe chain's device time at
+        # reference scale (35-62 ms of keyframe_step_a, BASELINE.md r5)
+        from defslam_tpu.ops.pallas_kernels import windowed_match_pallas
+
+        n_pairs, k_cap = desc2.shape[0], desc1.shape[0]
+        d1 = jnp.broadcast_to(desc1[None], (n_pairs, k_cap, 8))
+        best, idx, second = windowed_match_pallas(
+            d1, desc2, pred, retina2, va, valid2, float(rad_ret)
+        )
+        # reverse direction for the mutual-best check
+        _, ridx, _ = windowed_match_pallas(
+            desc2, d1, retina2, pred, valid2, va, float(rad_ret)
+        )
+        ok = best <= th
+        if cfg.tracking.nn_ratio < 1.0:
+            ok &= best.astype(jnp.float32) <= (
+                cfg.tracking.nn_ratio * second.astype(jnp.float32)
+            )
+        back = jnp.take_along_axis(
+            ridx, jnp.clip(idx, 0, desc2.shape[1] - 1), axis=1
+        )
+        ok &= back == jnp.arange(k_cap, dtype=jnp.int32)[None, :]
+        return jnp.where(ok, idx, -1), best
+
+    def one(p, ret2, v2, d2, va_row):
+        window = matching.window_mask(p, ret2, rad_ret)
         dist = matching.masked_hamming(
-            desc1, d2, valid1 & pv, v2, pair_mask=window, use_pallas=False,
+            desc1, d2, va_row, v2, pair_mask=window, use_pallas=False,
         )  # vmapped over pairs -> XLA path
         m = matching.best_match(
             dist, max_dist=th, nn_ratio=cfg.tracking.nn_ratio, mutual=True
         )
         return m.idx, m.dist
 
-    return jax.vmap(one)(ctrls, retina2, valid2, desc2, pair_valid)
+    return jax.vmap(one)(pred, retina2, valid2, desc2, va)
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
